@@ -1,0 +1,286 @@
+"""Deformation graph / warp field: fixed-capacity node pool + DQB skinning.
+
+Reference semantics:
+* graph construction — radius-subsample mesh vertices; per node a tuple
+  (anchor vertex idx, position, 8-vec DQ, weight dg_w = 2·radius); KDTree +
+  per-vertex kNN table (core/fusion.py:101-123);
+* node insertion — re-anchor nodes to the new mesh, find vertices whose
+  normalized distance to every kNN node is >= 1, subsample them, initialize
+  new node DQs by blending the existing field (core/fusion.py:201-239);
+* per-voxel non-rigid TSDF update — kNN nodes per voxel, DQB warp, trilerp
+  of the live TSDF, running average with wi = mean node distance
+  (core/fusion.py:153-198).
+
+TPU design: nodes live in a fixed-capacity pool with an active mask (node
+insertion never changes shapes → no recompiles until capacity is exceeded).
+The per-voxel KDTree queries (66% of the reference's updateTSDF time,
+SURVEY §6) are replaced by a two-level scheme: exact k-NN once per 8³-voxel
+*brick* over the node pool (an MXU matmul), then an exact top-k per voxel
+within the brick's candidate set — the Gaussian blend weights decay within
+a few node radii, so a modest candidate set reproduces exact kNN.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.dualquat import IDENTITY_DQ, dq_blend, dq_normalize8, dq_transform_normal, dq_transform_point
+from ..ops.interp import trilinear
+from ..ops.knn import knn
+from ..ops.sampling import radius_subsample
+
+INIT_NODE_DQ = jnp.array(
+    [1.0, 0.0, 0.0, 0.0, 0.0, 0.01, 0.01, 0.0], dtype=jnp.float32
+)  # reference node init, core/fusion.py:115
+
+
+@struct.dataclass
+class WarpField:
+    """node_pos (M,3); node_dq (M,8); node_w (M,) blend support (2·radius);
+    node_vert_idx (M,) anchor vertex; active (M,) bool; radius: sampling
+    radius (static per graph build)."""
+
+    node_pos: jax.Array
+    node_dq: jax.Array
+    node_w: jax.Array
+    node_vert_idx: jax.Array
+    active: jax.Array
+    radius: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.node_pos.shape[0]
+
+    @property
+    def num_active(self) -> jax.Array:
+        return jnp.sum(self.active.astype(jnp.int32))
+
+
+def construct_graph(
+    verts: jax.Array,
+    radius: jax.Array,
+    capacity: int,
+    valid: jax.Array | None = None,
+) -> WarpField:
+    """Build the deformation graph from (masked) mesh vertices.
+
+    Reference core/fusion.py:101-116: greedy radius subsample; every node
+    starts at the reference's canonical init DQ with dg_w = 2·radius.
+    """
+    idx, count = radius_subsample(verts, radius, capacity, valid=valid)
+    active = jnp.arange(capacity) < count
+    node_pos = jnp.take(verts, idx, axis=0)
+    node_dq = jnp.broadcast_to(INIT_NODE_DQ, (capacity, 8)).astype(jnp.float32)
+    node_w = jnp.full((capacity,), 2.0 * radius, dtype=jnp.float32)
+    return WarpField(
+        node_pos=jnp.where(active[:, None], node_pos, 0.0),
+        node_dq=node_dq,
+        node_w=node_w,
+        node_vert_idx=idx,
+        active=active,
+        radius=jnp.asarray(radius, dtype=jnp.float32),
+    )
+
+
+def neighbor_lookup(wf: WarpField, verts: jax.Array, k: int) -> jax.Array:
+    """Per-vertex kNN node table (V,k) — reference core/fusion.py:119-123."""
+    _, idx = knn(verts, wf.node_pos, k, valid=wf.active)
+    return idx
+
+
+def blend_at(
+    wf: WarpField, pos: jax.Array, nbr_idx: jax.Array
+) -> jax.Array:
+    """Blend the warp field at points ``pos`` (...,3) with per-point node
+    indices ``nbr_idx`` (...,k). Returns normalized DQs (...,8)."""
+    npos = jnp.take(wf.node_pos, nbr_idx, axis=0)
+    ndq = jnp.take(wf.node_dq, nbr_idx, axis=0)
+    nw = jnp.take(wf.node_w, nbr_idx, axis=0)
+    act = jnp.take(wf.active, nbr_idx, axis=0)
+    return dq_blend(pos, npos, ndq, nw, mask=act)
+
+
+def warp_points(
+    wf: WarpField,
+    pos: jax.Array,
+    nbr_idx: jax.Array,
+    normals: jax.Array | None = None,
+    m_lw: jax.Array | None = None,
+):
+    """DQB-skin points (and normals) into the live frame — reference
+    ``warp`` (core/fusion.py:502-520), batched."""
+    se3 = blend_at(wf, pos, nbr_idx)
+    p = dq_transform_point(se3, pos)
+    if m_lw is not None:
+        p = dq_transform_point(m_lw, p)
+    if normals is None:
+        return p
+    n = dq_transform_normal(se3, normals)
+    if m_lw is not None:
+        n = dq_transform_normal(m_lw, n)
+    return p, n
+
+
+def brick_candidates(
+    wf: WarpField, res: int, brick: int, n_candidates: int
+) -> jax.Array:
+    """Exact kNN of every brick center over the node pool → (NB, C) indices.
+
+    Bricks tile the (res,res,res) voxel grid as (res/brick)³ cubes in
+    x-major order.
+    """
+    nb = res // brick
+    c = (jnp.arange(nb, dtype=jnp.float32) * brick) + (brick - 1) / 2.0
+    cx = jnp.repeat(c, nb * nb)
+    cy = jnp.tile(jnp.repeat(c, nb), nb)
+    cz = jnp.tile(c, nb * nb)
+    centers = jnp.stack([cx, cy, cz], axis=-1)
+    _, idx = knn(centers, wf.node_pos, n_candidates, valid=wf.active)
+    return idx
+
+
+def _voxel_knn_from_candidates(pos, cand_idx, wf: WarpField, k: int):
+    """Exact top-k per voxel within each voxel's candidate set.
+
+    pos: (N,3); cand_idx: (N,C). Returns (sel_idx (N,k), dists (N,k)).
+    Ties broken toward lower candidate rank (candidates are themselves
+    distance-ordered, matching KDTree lowest-index-ish behavior closely).
+    """
+    cpos = jnp.take(wf.node_pos, cand_idx, axis=0)
+    cact = jnp.take(wf.active, cand_idx, axis=0)
+    d2 = jnp.sum((pos[:, None, :] - cpos) ** 2, axis=-1)
+    big = jnp.float32(3.4e38)
+    d2 = jnp.where(cact, d2, big)
+    rank_tie = jnp.arange(cand_idx.shape[1], dtype=jnp.float32) * 1e-12
+    _, top = jax.lax.top_k(-(d2 + rank_tie[None, :]), k)
+    sel = jnp.take_along_axis(cand_idx, top, axis=1)
+    d2k = jnp.take_along_axis(d2, top, axis=1)
+    return sel, jnp.sqrt(d2k)
+
+
+def update_tsdf_nonrigid(
+    values: jax.Array,
+    weights: jax.Array,
+    live: jax.Array,
+    wf: WarpField,
+    lw_dq: jax.Array,
+    k: int,
+    tdist: float,
+    wmax: float = 100.0,
+    brick: int = 8,
+    n_candidates: int = 8,
+):
+    """Non-rigid canonical TSDF fusion — the reference's hottest loop
+    (core/fusion.py:153-198) as a fused, brick-chunked device computation.
+
+    Per voxel: kNN nodes → DQB blend → sandwich warp (+ global lw) →
+    trilerp live TSDF → running average with wi = mean node distance and
+    the wi_t==0 → wi substitution. Processes one x-slab of ``brick`` planes
+    per lax.map step to bound transient memory.
+    """
+    res = values.shape[0]
+    nb = res // brick
+    cand = brick_candidates(wf, res, brick, n_candidates)  # (nb³, C)
+    f32 = jnp.float32
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 1)
+    zz = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 2)
+    xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 0)
+
+    def slab(s):
+        xs = (xx0 + s * brick).astype(f32)
+        pos = jnp.stack([xs, yy.astype(f32), zz.astype(f32)], axis=-1).reshape(-1, 3)
+        bid = (s * nb + yy // brick) * nb + zz // brick
+        cidx = jnp.take(cand, bid.reshape(-1), axis=0)  # (N, C)
+        sel, dists = _voxel_knn_from_candidates(pos, cidx, wf, k)
+
+        npos = jnp.take(wf.node_pos, sel, axis=0)
+        ndq = jnp.take(wf.node_dq, sel, axis=0)
+        nw = jnp.take(wf.node_w, sel, axis=0)
+        nact = jnp.take(wf.active, sel, axis=0)
+        se3 = dq_blend(pos, npos, ndq, nw, mask=nact)
+        warped = dq_transform_point(se3, pos)
+        warped = dq_transform_point(lw_dq, warped)
+
+        tsdf_l, valid = trilinear(live, warped)
+
+        vals = jax.lax.dynamic_slice_in_dim(values, s * brick, brick, 0).reshape(-1)
+        wts = jax.lax.dynamic_slice_in_dim(weights, s * brick, brick, 0).reshape(-1)
+
+        finite = jnp.isfinite(dists) & nact
+        wi = jnp.sum(jnp.where(finite, dists, 0.0), axis=1) / jnp.maximum(
+            jnp.sum(finite, axis=1), 1
+        )
+        wi_t = jnp.where(wts == 0.0, wi, wts)
+        upd = valid & (tsdf_l > -tdist)
+        denom = jnp.maximum(wi + wi_t, 1e-30)
+        new_vals = (vals * wi_t + jnp.minimum(tdist, tsdf_l) * wi) / denom
+        new_wts = jnp.minimum(wi + wi_t, wmax)
+        out_v = jnp.where(upd, new_vals, vals).reshape(brick, res, res)
+        out_w = jnp.where(upd, new_wts, wts).reshape(brick, res, res)
+        return out_v, out_w
+
+    out_v, out_w = jax.lax.map(slab, jnp.arange(nb))
+    return out_v.reshape(res, res, res), out_w.reshape(res, res, res)
+
+
+def update_graph(
+    wf: WarpField,
+    verts: jax.Array,
+    valid_verts: jax.Array,
+    k: int,
+):
+    """Node maintenance after fusion — reference core/fusion.py:201-239.
+
+    1. re-anchor every node to its nearest new vertex;
+    2. mark vertices unsupported when min_j ‖v - n_j‖ / w_j >= 1 over the
+       kNN nodes;
+    3. radius-subsample the unsupported set into free pool slots, DQB-
+       initializing new node transforms from the existing field.
+
+    Returns the updated WarpField (same capacity; new nodes activated).
+    """
+    capacity = wf.capacity
+    # 1. re-anchor
+    _, vidx = knn(wf.node_pos, verts, 1, valid=valid_verts)
+    wf = wf.replace(node_vert_idx=jnp.where(wf.active, vidx[:, 0], wf.node_vert_idx))
+
+    # 2. unsupported vertices
+    d, nidx = knn(verts, wf.node_pos, k, valid=wf.active)
+    nw = jnp.take(wf.node_w, nidx, axis=0)
+    ratio = d / nw
+    unsupported = valid_verts & (jnp.min(ratio, axis=1) >= 1.0)
+
+    # 3. subsample into free slots
+    new_idx, new_count = radius_subsample(
+        verts, wf.radius, capacity, valid=unsupported
+    )
+    base = wf.num_active
+    free = capacity - base
+    take = jnp.minimum(new_count, free)
+
+    new_pos = jnp.take(verts, new_idx, axis=0)
+    # DQB-init from the existing field (reference core/fusion.py:222 uses
+    # dq_blend with the pre-insertion kNN).
+    _, bidx = knn(new_pos, wf.node_pos, k, valid=wf.active)
+    new_dq = blend_at(wf, new_pos, bidx)
+
+    # Gather formulation (no scatter): pool slot s in [base, base+take)
+    # receives new node number s-base.
+    sidx = jnp.arange(capacity)
+    is_new_slot = (sidx >= base) & (sidx < base + take)
+    newnum = jnp.clip(sidx - base, 0, capacity - 1)
+    node_pos = jnp.where(is_new_slot[:, None], new_pos[newnum], wf.node_pos)
+    node_dq = jnp.where(is_new_slot[:, None], new_dq[newnum], wf.node_dq)
+    node_vert_idx = jnp.where(is_new_slot, new_idx[newnum], wf.node_vert_idx)
+    node_w = jnp.where(is_new_slot, 2.0 * wf.radius, wf.node_w)
+    active = wf.active | is_new_slot
+    return wf.replace(
+        node_pos=node_pos,
+        node_dq=node_dq,
+        node_vert_idx=node_vert_idx,
+        node_w=node_w,
+        active=active,
+    )

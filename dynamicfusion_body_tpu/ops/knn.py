@@ -1,0 +1,72 @@
+"""k-nearest-neighbor search on device (replaces scipy.spatial.KDTree).
+
+The reference queries a KDTree per voxel / per vertex (66% of updateTSDF
+time, SURVEY §6). On TPU the node / vertex sets are small (10²–10⁵), so the
+right design is brute force on the MXU: ‖q−p‖² = ‖q‖² − 2 q·p + ‖p‖² where
+the cross term is a (Q,3)×(3,P) matmul, followed by ``lax.top_k``. For the
+16.7M-voxel grid, a two-level scheme (per-brick candidate sets, then exact
+top-k within the candidates) bounds the work — see models/warp_field.py.
+
+KDTree tie-breaking: scipy returns the lowest index among equidistant
+points; we subtract a tiny index-proportional epsilon before top_k to match.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(q: jax.Array, p: jax.Array) -> jax.Array:
+    """(Q,3),(P,3) → (Q,P) squared distances via MXU-friendly matmul."""
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    pp = jnp.sum(p * p, axis=-1)
+    cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(qq - 2.0 * cross + pp[None, :], 0.0)
+
+
+def knn(
+    queries: jax.Array,
+    points: jax.Array,
+    k: int,
+    valid: jax.Array | None = None,
+    chunk: int = 8192,
+):
+    """Exact k-NN: returns (dists (Q,k), idx (Q,k) int32), ascending.
+
+    ``valid`` masks out pool slots (distance +inf). Queries are processed in
+    chunks to bound the (chunk, P) distance matrix in memory.
+    """
+    nq = queries.shape[0]
+    npts = points.shape[0]
+    k = min(k, npts)
+    pad = (-nq) % chunk
+    qpad = jnp.pad(queries, ((0, pad), (0, 0)))
+    nchunks = qpad.shape[0] // chunk
+    tie = jnp.arange(npts, dtype=jnp.float32) * 1e-12
+
+    def one(qc):
+        d2 = pairwise_sqdist(qc, points)
+        if valid is not None:
+            d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-(d2 + tie[None, :]), k)
+        # Recompute exact distances for the selected k (the matmul form
+        # loses fp32 precision to cancellation; k·Q direct diffs are cheap).
+        sel = jnp.take(points, idx.reshape(-1), axis=0).reshape(idx.shape + (3,))
+        d2s = jnp.sum((qc[:, None, :] - sel) ** 2, axis=-1)
+        if valid is not None:
+            vs = jnp.take(valid, idx.reshape(-1), axis=0).reshape(idx.shape)
+            d2s = jnp.where(vs, d2s, jnp.inf)
+        return jnp.sqrt(d2s), idx.astype(jnp.int32)
+
+    d, i = jax.lax.map(one, qpad.reshape(nchunks, chunk, 3))
+    d = d.reshape(-1, k)[:nq]
+    i = i.reshape(-1, k)[:nq]
+    return d, i
+
+
+def nearest(queries: jax.Array, points: jax.Array, valid: jax.Array | None = None):
+    """1-NN convenience wrapper: returns (dist (Q,), idx (Q,))."""
+    d, i = knn(queries, points, 1, valid=valid)
+    return d[:, 0], i[:, 0]
