@@ -1,0 +1,207 @@
+"""Marching cubes on device: static-shape, fixed-capacity, fully jittable.
+
+Replaces the reference's skimage ``marching_cubes_lewiner`` calls
+(core/fusion.py:554-568, core/fusion_dm.py:319-331). TPU design:
+
+* **edge-owner vertices** — every lattice edge (i,j,k,axis) owns at most
+  one isosurface vertex (linear interpolation of the zero crossing), so
+  vertices are deduplicated by construction, exactly like the classic
+  shared-vertex MC output;
+* **two-stage compaction** — a cumsum ranks surface-crossing edges into a
+  fixed-capacity vertex buffer; active cells (0 < case < 255) are
+  compacted into a fixed-capacity cell list before triangle emission, so
+  the expensive per-triangle work only touches the ~1-2% of cells that
+  intersect the surface;
+* **static outputs** — (vert_cap,3) vertices / (face_cap,3) faces plus
+  counts; downstream consumers mask by count (TPU requires static shapes).
+
+Triangulation tables are generated from first principles by
+tools/gen_mc_tables.py (face-walking with a fixed separate-inside-corners
+ambiguity rule → watertight across cells).
+
+Normals follow skimage's default ``gradient_direction='descent'``:
+the normalized negative gradient of the volume at each vertex.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mc_tables
+from .interp import trilinear
+
+_TRI_TABLE = jnp.asarray(mc_tables.TRI_TABLE)  # (256, 5, 3) local edge ids
+_TRI_COUNT = jnp.asarray(mc_tables.TRI_COUNT)  # (256,)
+_EDGE_BASE = jnp.asarray(mc_tables.EDGE_BASE)  # (12,) base corner index
+_EDGE_AXIS = jnp.asarray(mc_tables.EDGE_AXIS)  # (12,) axis
+
+# corner offset of base corner per local edge, plus its axis, as (12, 4)
+_EDGE_OFF = np.zeros((12, 4), dtype=np.int32)
+for _e in range(12):
+    _b = int(mc_tables.EDGE_BASE[_e])
+    _EDGE_OFF[_e, 0] = _b & 1
+    _EDGE_OFF[_e, 1] = (_b >> 1) & 1
+    _EDGE_OFF[_e, 2] = (_b >> 2) & 1
+    _EDGE_OFF[_e, 3] = int(mc_tables.EDGE_AXIS[_e])
+_EDGE_OFF = jnp.asarray(_EDGE_OFF)
+
+
+def marching_cubes(
+    vol: jax.Array,
+    level: float = 0.0,
+    vert_cap: int = 65536,
+    face_cap: int = 131072,
+    cell_cap: int | None = None,
+    step_size: int = 1,
+):
+    """Extract the ``level`` isosurface of ``vol`` (X,Y,Z).
+
+    Returns dict with:
+      verts   (vert_cap, 3) f32 — lattice coordinates (scaled by step_size)
+      normals (vert_cap, 3) f32 — normalized -gradient (descent direction)
+      values  (vert_cap,)  f32 — trilerped volume value at the vertex
+      faces   (face_cap, 3) i32 — vertex indices, CCW seen from outside
+      n_verts, n_faces      i32 — valid counts (capacity overflow ⇒ count
+                                  saturates at capacity; callers may check)
+    Counts are exact; slots >= count are zero-filled.
+    """
+    if step_size > 1:
+        vol = vol[::step_size, ::step_size, ::step_size]
+    X, Y, Z = vol.shape
+    if cell_cap is None:
+        cell_cap = face_cap
+    inside = vol < level
+
+    # ---- vertices on crossing edges -------------------------------------
+    # mask/t over the full (X,Y,Z,3) edge lattice; axis-a edges at index
+    # i are valid only when i < dim-1.
+    def axis_cross(a):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a] = slice(0, vol.shape[a] - 1)
+        sl_hi[a] = slice(1, vol.shape[a])
+        lo = vol[tuple(sl_lo)]
+        hi = vol[tuple(sl_hi)]
+        cross = (lo < level) != (hi < level)
+        denom = lo - hi
+        t = jnp.where(jnp.abs(denom) > 1e-30, (lo - level) / denom, 0.5)
+        pad = [(0, 0)] * 3
+        pad[a] = (0, 1)
+        return (
+            jnp.pad(cross, pad),
+            jnp.pad(jnp.where(cross, t, 0.0), pad),
+        )
+
+    crosses, ts = zip(*(axis_cross(a) for a in range(3)))
+    edge_mask = jnp.stack(crosses, axis=-1)  # (X,Y,Z,3)
+    edge_t = jnp.stack(ts, axis=-1)
+
+    flat_mask = edge_mask.reshape(-1)
+    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # rank per edge
+    n_verts = rank[-1] + 1  # total crossings (0 if none: cumsum ends at -1)
+
+    # positions: base lattice point + t along axis
+    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 2)
+    ax = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z, 3), 3)
+    pos = jnp.stack(
+        [
+            gx + jnp.where(ax == 0, edge_t, 0.0),
+            gy + jnp.where(ax == 1, edge_t, 0.0),
+            gz + jnp.where(ax == 2, edge_t, 0.0),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+
+    scatter_idx = jnp.where(flat_mask, rank, vert_cap)
+    verts = (
+        jnp.zeros((vert_cap + 1, 3), jnp.float32)
+        .at[scatter_idx].set(pos, mode="drop")[:vert_cap]
+    )
+
+    # ---- cell cases + active-cell compaction ----------------------------
+    cx, cy, cz = X - 1, Y - 1, Z - 1
+    case = jnp.zeros((cx, cy, cz), jnp.int32)
+    for b in range(8):
+        dx, dy, dz = b & 1, (b >> 1) & 1, (b >> 2) & 1
+        case = case | (
+            inside[dx : dx + cx, dy : dy + cy, dz : dz + cz].astype(jnp.int32)
+            << b
+        )
+    case_flat = case.reshape(-1)
+    ntris = jnp.take(_TRI_COUNT, case_flat, axis=0)
+    active = ntris > 0
+    arank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    n_active = arank[-1] + 1
+    cell_ids = (
+        jnp.zeros((cell_cap + 1,), jnp.int32)
+        .at[jnp.where(active, arank, cell_cap)]
+        .set(jnp.arange(case_flat.shape[0], dtype=jnp.int32), mode="drop")[:cell_cap]
+    )
+    # face base rank per active cell (cumsum of ntris over compact list)
+    a_ntris = jnp.where(
+        jnp.arange(cell_cap) < n_active, jnp.take(ntris, cell_ids, axis=0), 0
+    )
+    face_base = jnp.cumsum(a_ntris) - a_ntris
+    n_faces = jnp.sum(a_ntris)
+
+    # ---- triangle emission ----------------------------------------------
+    ci = cell_ids // (cy * cz)
+    cj = (cell_ids // cz) % cy
+    ck = cell_ids % cz
+    acase = jnp.take(case_flat, cell_ids, axis=0)
+    tris = jnp.take(_TRI_TABLE, acase, axis=0)  # (cell_cap, 5, 3) local edges
+
+    off = jnp.take(_EDGE_OFF, tris.reshape(-1), axis=0).reshape(
+        cell_cap, 5, 3, 4
+    )
+    gi = ci[:, None, None] + off[..., 0]
+    gj = cj[:, None, None] + off[..., 1]
+    gk = ck[:, None, None] + off[..., 2]
+    ga = off[..., 3]
+    edge_flat_idx = ((gi * Y + gj) * Z + gk) * 3 + ga  # (cell_cap, 5, 3)
+    vidx = jnp.take(rank, edge_flat_idx.reshape(-1), axis=0).reshape(
+        cell_cap, 5, 3
+    )
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cell_cap, 5), 1)
+    valid_tri = (slot < a_ntris[:, None]) & (
+        jax.lax.broadcasted_iota(jnp.int32, (cell_cap, 5), 0)
+        < n_active
+    )
+    frank = face_base[:, None] + slot
+    fscatter = jnp.where(valid_tri, frank, face_cap).reshape(-1)
+    faces = (
+        jnp.zeros((face_cap + 1, 3), jnp.int32)
+        .at[fscatter].set(vidx.reshape(-1, 3), mode="drop")[:face_cap]
+    )
+
+    # ---- normals + values ------------------------------------------------
+    grad = jnp.stack(jnp.gradient(vol), axis=-1)
+    gvals = jnp.stack(
+        [trilinear(grad[..., a], verts)[0] for a in range(3)], axis=-1
+    )
+    nrm = -gvals
+    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    normals = nrm / jnp.maximum(nn, 1e-20)
+    values, _ = trilinear(vol, verts)
+
+    if step_size > 1:
+        verts = verts * step_size
+
+    vmask = jnp.arange(vert_cap) < n_verts
+    verts = jnp.where(vmask[:, None], verts, 0.0)
+    normals = jnp.where(vmask[:, None], normals, 0.0)
+    values = jnp.where(vmask, values, 0.0)
+
+    return {
+        "verts": verts,
+        "normals": normals,
+        "values": values,
+        "faces": faces,
+        "n_verts": jnp.minimum(n_verts, vert_cap),
+        "n_faces": jnp.minimum(n_faces, face_cap),
+    }
