@@ -1,0 +1,238 @@
+"""Non-rigid warp-field solver: block-sparse Gauss-Newton with PCG.
+
+Replaces the reference's scipy ``least_squares(computef, …, jac='2-point',
+tr_solver='lsmr', loss='huber')`` (core/fusion.py:382-392) — the profiled
+bottleneck (94% of solve time in finite-difference Jacobians, SURVEY §6).
+
+Energy (identical terms to ``computef``, core/fusion.py:459-491):
+* data: per vertex i with correspondence c_i,
+    r_i = n_i^w · (v_i^w − c_i),
+  where v^w/n^w are DQB-skinned by the k neighbor-node DQs (Gaussian
+  weights from node positions — constant during the solve) then the global
+  rigid DQ ``lw``;
+* regularization: per node pair (i, j ∈ kNN of node i's anchor vertex),
+    r_ij = rw·max(w_i, w_j) · (W_{dq_i}(v_j) − W_{dq_j}(v_j)) ∈ R³.
+
+TPU design: every residual touches ≤ k nodes, so Jacobians are computed as
+dense per-residual blocks with ``jax.jacfwd`` under ``vmap`` (analytic, one
+pass — not 570 residual sweeps), and the normal equations are never
+materialized: JᵀWJ·p is evaluated block-wise with gathers + segment-sums
+inside a Jacobi-preconditioned CG. Robustification = IRLS with scipy-style
+huber weights (f_scale=1), matching ``loss='huber'``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dualquat import (
+    dq_normalize8,
+    dq_transform_normal,
+    dq_transform_point,
+)
+from ..ops.losses import huber_irls_weight
+
+
+def _blend_with(dqs_k, wts_k):
+    """Weighted DQ sum + 8-norm normalization (weights precomputed)."""
+    return dq_normalize8(jnp.sum(wts_k[:, None] * dqs_k, axis=0))
+
+
+def data_residual_one(dqs_k, vert, normal, corr, wts_k, lw_dq):
+    se3 = _blend_with(dqs_k, wts_k)
+    p = dq_transform_point(se3, vert)
+    p = dq_transform_point(lw_dq, p)
+    n = dq_transform_normal(se3, normal)
+    n = dq_transform_normal(lw_dq, n)
+    return jnp.dot(n, p - corr)
+
+
+def reg_residual_one(dq_i, dq_j, vj, scale):
+    return scale * (dq_transform_point(dq_i, vj) - dq_transform_point(dq_j, vj))
+
+
+def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
+    """Total cost 0.5·Σρ(r²), scipy-style huber with f_scale=1.
+
+    ``robust=False`` gives the raw 0.5·Σr² the reference prints as
+    "cost before optimization" (core/fusion.py:375-376).
+    """
+    verts, normals, corrs, corr_mask, nbr_idx, blend_wts = data_args
+    pair_i, pair_j, pair_v, pair_scale, pair_mask = reg_args
+    dqs_v = jnp.take(node_dq, nbr_idx, axis=0)
+    r_d = jax.vmap(data_residual_one, in_axes=(0, 0, 0, 0, 0, None))(
+        dqs_v, verts, normals, corrs, blend_wts, lw_dq
+    )
+    r_d = jnp.where(corr_mask, r_d, 0.0)
+    r_r = jax.vmap(reg_residual_one)(
+        jnp.take(node_dq, pair_i, axis=0),
+        jnp.take(node_dq, pair_j, axis=0),
+        pair_v,
+        pair_scale,
+    )
+    r_r = jnp.where(pair_mask[:, None], r_r, 0.0)
+
+    def rho(z):
+        # scipy huber with f_scale=1: rho(z) = z if z<=1 else 2√z − 1;
+        # reg rows are 3 scalar residuals (the reference appends the diff
+        # components individually), so rho applies per component.
+        if not robust:
+            return z
+        return jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, 1.0)) - 1.0)
+
+    return 0.5 * (jnp.sum(rho(r_d**2)) + jnp.sum(rho(r_r**2)))
+
+
+def solve_nonrigid(
+    node_dq,
+    verts,
+    normals,
+    corrs,
+    corr_mask,
+    nbr_idx,
+    blend_wts,
+    pair_i,
+    pair_j,
+    pair_v,
+    pair_scale,
+    pair_mask,
+    lw_dq,
+    gn_iters: int = 8,
+    cg_iters: int = 32,
+    damping: float = 1e-4,
+):
+    """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
+
+    Returns (node_dq, cost_before, cost_after).
+    """
+    M = node_dq.shape[0]
+    data_args = (verts, normals, corrs, corr_mask, nbr_idx, blend_wts)
+    reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
+
+    def one_data(dqs_k, vert, normal, corr, wts_k, lw):
+        f = lambda d: data_residual_one(d, vert, normal, corr, wts_k, lw)
+        return f(dqs_k), jax.jacfwd(f)(dqs_k)
+
+    def one_reg(di, dj, v, s):
+        r = reg_residual_one(di, dj, v, s)
+        Ji = jax.jacfwd(reg_residual_one, argnums=0)(di, dj, v, s)
+        Jj = jax.jacfwd(reg_residual_one, argnums=1)(di, dj, v, s)
+        return r, Ji, Jj
+
+    cost0 = nonrigid_energy(node_dq, data_args, reg_args, lw_dq)
+
+    def gn_step(x, _):
+        dqs_v = jnp.take(x, nbr_idx, axis=0)
+        r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
+            dqs_v, verts, normals, corrs, blend_wts, lw_dq
+        )
+        mask_d = corr_mask
+        r_d = jnp.where(mask_d, r_d, 0.0)
+        J_d = jnp.where(mask_d[:, None, None], J_d, 0.0)
+        w_d = huber_irls_weight(r_d) * mask_d  # (V,)
+
+        r_r, J_ri, J_rj = jax.vmap(one_reg)(
+            jnp.take(x, pair_i, axis=0),
+            jnp.take(x, pair_j, axis=0),
+            pair_v,
+            pair_scale,
+        )
+        r_r = jnp.where(pair_mask[:, None], r_r, 0.0)
+        J_ri = jnp.where(pair_mask[:, None, None], J_ri, 0.0)
+        J_rj = jnp.where(pair_mask[:, None, None], J_rj, 0.0)
+        w_r = huber_irls_weight(r_r) * pair_mask[:, None]  # (P,3)
+
+        nbr_flat = nbr_idx.reshape(-1)
+
+        def scatter_nodes(contrib_flat):
+            return jax.ops.segment_sum(contrib_flat, nbr_flat, num_segments=M)
+
+        # rhs = -JᵀW r
+        g_d = scatter_nodes(
+            (J_d * (w_d * r_d)[:, None, None]).reshape(-1, 8)
+        )
+        g_r = jax.ops.segment_sum(
+            jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r), pair_i, num_segments=M
+        ) + jax.ops.segment_sum(
+            jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r), pair_j, num_segments=M
+        )
+        rhs = -(g_d + g_r)
+
+        # Jacobi preconditioner / damping diag
+        diag = scatter_nodes(
+            (w_d[:, None, None] * J_d**2).reshape(-1, 8)
+        )
+        diag = diag + jax.ops.segment_sum(
+            jnp.einsum("pcd,pc->pd", J_ri**2, w_r), pair_i, num_segments=M
+        ) + jax.ops.segment_sum(
+            jnp.einsum("pcd,pc->pd", J_rj**2, w_r), pair_j, num_segments=M
+        )
+        lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
+        diag_lm = diag + lam
+
+        def matvec(p):
+            p_v = jnp.take(p, nbr_idx, axis=0)  # (V,k,8)
+            Jp_d = jnp.einsum("vkd,vkd->v", J_d, p_v)
+            back_d = scatter_nodes(
+                (J_d * (w_d * Jp_d)[:, None, None]).reshape(-1, 8)
+            )
+            Jp_r = jnp.einsum("pcd,pd->pc", J_ri, jnp.take(p, pair_i, axis=0)) + \
+                jnp.einsum("pcd,pd->pc", J_rj, jnp.take(p, pair_j, axis=0))
+            back_r = jax.ops.segment_sum(
+                jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r), pair_i,
+                num_segments=M,
+            ) + jax.ops.segment_sum(
+                jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r), pair_j,
+                num_segments=M,
+            )
+            return back_d + back_r + lam * p
+
+        # Jacobi-PCG
+        def cg_body(i, state):
+            p, rvec, z, d, rz = state
+            Ad = matvec(d)
+            alpha = rz / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
+            p = p + alpha * d
+            rvec = rvec - alpha * Ad
+            z = rvec / diag_lm
+            rz_new = jnp.vdot(rvec, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            d = z + beta * d
+            return p, rvec, z, d, rz_new
+
+        p0 = jnp.zeros_like(x)
+        z0 = rhs / diag_lm
+        state = (p0, rhs, z0, z0, jnp.vdot(rhs, z0))
+        delta = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
+
+        x_new = x + delta
+        better = nonrigid_energy(x_new, data_args, reg_args, lw_dq) <= \
+            nonrigid_energy(x, data_args, reg_args, lw_dq)
+        return jnp.where(better, x_new, x), None
+
+    x, _ = jax.lax.scan(gn_step, node_dq, None, length=gn_iters)
+    cost1 = nonrigid_energy(x, data_args, reg_args, lw_dq)
+    return x, cost0, cost1
+
+
+def make_reg_pairs(node_vert_idx, nbr_idx, node_w, active, rw):
+    """Regularization pair lists from the per-vertex kNN table.
+
+    Reference computef regularization (core/fusion.py:475-484): for node i,
+    neighbors = neighbor_look_up[node i's anchor vertex]; scale =
+    rw·max(w_i, w_j). Returns (pair_i, pair_j, pair_v, pair_scale,
+    pair_mask) with P = M·k rows (pair_v = node j's position must be
+    gathered by the caller, see pipeline).
+    """
+    M, k = active.shape[0], nbr_idx.shape[1]
+    nbrs = jnp.take(nbr_idx, node_vert_idx, axis=0)  # (M, k)
+    pair_i = jnp.repeat(jnp.arange(M, dtype=jnp.int32), k)
+    pair_j = nbrs.reshape(-1)
+    wi = jnp.take(node_w, pair_i, axis=0)
+    wj = jnp.take(node_w, pair_j, axis=0)
+    pair_scale = rw * jnp.maximum(wi, wj)
+    pair_mask = jnp.take(active, pair_i, axis=0) & jnp.take(
+        active, pair_j, axis=0
+    )
+    return pair_i, pair_j, pair_scale, pair_mask
