@@ -10,3 +10,5 @@ pjit/shard_map scaling over device meshes.
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from .io.sdf_io import load_sdf  # noqa: F401
+from .pipeline.fusion import Fusion, FusionDM, FusionDM_GPU  # noqa: F401

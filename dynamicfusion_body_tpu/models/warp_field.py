@@ -124,18 +124,22 @@ def warp_points(
 
 
 def brick_candidates(
-    wf: WarpField, res: int, brick: int, n_candidates: int
+    wf: WarpField, shape, brick: int, n_candidates: int
 ) -> jax.Array:
     """Exact kNN of every brick center over the node pool → (NB, C) indices.
 
-    Bricks tile the (res,res,res) voxel grid as (res/brick)³ cubes in
-    x-major order.
+    Bricks tile the (rx,ry,rz) voxel grid as brick³ cubes in x-major order
+    (each axis must be divisible by ``brick``).
     """
-    nb = res // brick
-    c = (jnp.arange(nb, dtype=jnp.float32) * brick) + (brick - 1) / 2.0
-    cx = jnp.repeat(c, nb * nb)
-    cy = jnp.tile(jnp.repeat(c, nb), nb)
-    cz = jnp.tile(c, nb * nb)
+    rx, ry, rz = shape
+    nbx, nby, nbz = rx // brick, ry // brick, rz // brick
+
+    def centers_1d(n):
+        return (jnp.arange(n, dtype=jnp.float32) * brick) + (brick - 1) / 2.0
+
+    cx = jnp.repeat(centers_1d(nbx), nby * nbz)
+    cy = jnp.tile(jnp.repeat(centers_1d(nby), nbz), nbx)
+    cz = jnp.tile(centers_1d(nbz), nbx * nby)
     centers = jnp.stack([cx, cy, cz], axis=-1)
     _, idx = knn(centers, wf.node_pos, n_candidates, valid=wf.active)
     return idx
@@ -180,19 +184,19 @@ def update_tsdf_nonrigid(
     the wi_t==0 → wi substitution. Processes one x-slab of ``brick`` planes
     per lax.map step to bound transient memory.
     """
-    res = values.shape[0]
-    nb = res // brick
-    cand = brick_candidates(wf, res, brick, n_candidates)  # (nb³, C)
+    rx, ry, rz = values.shape
+    nbx, nby, nbz = rx // brick, ry // brick, rz // brick
+    cand = brick_candidates(wf, values.shape, brick, n_candidates)  # (NB, C)
     f32 = jnp.float32
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 1)
-    zz = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 2)
-    xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, res, res), 0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 1)
+    zz = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 2)
+    xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 0)
 
     def slab(s):
         xs = (xx0 + s * brick).astype(f32)
         pos = jnp.stack([xs, yy.astype(f32), zz.astype(f32)], axis=-1).reshape(-1, 3)
-        bid = (s * nb + yy // brick) * nb + zz // brick
+        bid = (s * nby + yy // brick) * nbz + zz // brick
         cidx = jnp.take(cand, bid.reshape(-1), axis=0)  # (N, C)
         sel, dists = _voxel_knn_from_candidates(pos, cidx, wf, k)
 
@@ -218,12 +222,12 @@ def update_tsdf_nonrigid(
         denom = jnp.maximum(wi + wi_t, 1e-30)
         new_vals = (vals * wi_t + jnp.minimum(tdist, tsdf_l) * wi) / denom
         new_wts = jnp.minimum(wi + wi_t, wmax)
-        out_v = jnp.where(upd, new_vals, vals).reshape(brick, res, res)
-        out_w = jnp.where(upd, new_wts, wts).reshape(brick, res, res)
+        out_v = jnp.where(upd, new_vals, vals).reshape(brick, ry, rz)
+        out_w = jnp.where(upd, new_wts, wts).reshape(brick, ry, rz)
         return out_v, out_w
 
-    out_v, out_w = jax.lax.map(slab, jnp.arange(nb))
-    return out_v.reshape(res, res, res), out_w.reshape(res, res, res)
+    out_v, out_w = jax.lax.map(slab, jnp.arange(nbx))
+    return out_v.reshape(rx, ry, rz), out_w.reshape(rx, ry, rz)
 
 
 def update_graph(

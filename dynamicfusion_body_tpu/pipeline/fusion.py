@@ -1,0 +1,671 @@
+"""DynamicFusion drivers with the reference's entry-point surface.
+
+``FusionDM`` — multi-view rigid depth fusion into a canonical TSDF with
+optional rigid-ICP alignment (reference core/fusion_dm.py:53-561; the
+OpenCL-accelerated ``FusionDM_GPU`` is the same class here — every path is
+device-accelerated on TPU).
+
+``Fusion`` — the non-rigid DynamicFusion loop: warp-field solve →
+canonical TSDF fusion → deformation-graph update (reference
+core/fusion.py:49-598, with the bit-rotted constructor repaired to the
+intended ``Fusion(tsdf, trunc_distance, …)`` signature that the harness
+actually calls, test.py:110; see SURVEY §2.4).
+
+Design: drivers are thin host-side orchestrators over jitted, fixed-shape
+device functions. State lives in immutable pytrees (TsdfVolume, WarpField,
+fixed-capacity mesh buffers); node insertion and correspondence pruning
+use active masks instead of Python list surgery, so per-frame work never
+recompiles.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.tsdf_volume import TsdfVolume, fuse_depth, update_tsdf_rigid
+from ..models import warp_field as WF
+from ..ops import (
+    dq_blend,
+    knn,
+    make_ind_matrix,
+    estimate_alignment,
+)
+from ..ops.marching_cubes import marching_cubes
+from ..solvers.nonrigid import make_reg_pairs, nonrigid_energy, solve_nonrigid
+from ..solvers.rigid import solve_rigid
+from ..io.mesh_io import save_obj
+from ..io.warpfield_io import save_warp_field
+from .correspondence import closest_point_correspondences
+
+IDENTITY_DQ = np.array([1, 0, 0, 0, 0, 0, 0, 0], dtype=np.float32)
+
+
+def _pad_to_multiple(vol, mult, fill):
+    r = vol.shape[0]
+    pad = (-r) % mult
+    if pad == 0:
+        return vol, r
+    return (
+        jnp.pad(vol, ((0, pad),) * 3, constant_values=fill),
+        r,
+    )
+
+
+class FusionDM:
+    """Multi-view depth-map fusion (rigid). TPU-native replacement for both
+    ``FusionDM`` and ``FusionDM_GPU``."""
+
+    def __init__(
+        self,
+        trunc_distance,
+        K,
+        tsdf_res=256,
+        subsample_rate=5.0,
+        knn=4,
+        marching_cubes_step_size=3,
+        verbose=False,
+        write_warpfield=True,
+        vert_cap=1 << 17,
+        face_cap=1 << 18,
+    ):
+        self._itercounter = 0
+        self._tdist = abs(trunc_distance)
+        self._tsdf_res = tsdf_res
+        self._K = np.asarray(K, dtype=np.float32)
+        self._Kinv = np.linalg.inv(self._K).astype(np.float32)
+        self._lw = jnp.asarray(IDENTITY_DQ)
+        self._knn = knn
+        self._marching_cubes_step_size = marching_cubes_step_size
+        self._subsample_rate = subsample_rate
+        self._verbose = verbose
+        self._write_warpfield = write_warpfield
+        self._vert_cap = vert_cap
+        self._face_cap = face_cap
+        self.volume = TsdfVolume.create(tsdf_res, self._tdist)
+        self._mesh = None
+
+        self._fuse = jax.jit(
+            partial(fuse_depth, tdist=self._tdist, wmax=100.0)
+        )
+        self._update_rigid = jax.jit(
+            partial(update_tsdf_rigid, tdist=self._tdist, wmax=100.0)
+        )
+
+    # ------------------------------------------------------------------ #
+    @property
+    def _tsdf(self):
+        return self.volume.values
+
+    @property
+    def _tsdfw(self):
+        return self.volume.weights
+
+    @property
+    def _IND(self):
+        return np.asarray(self.volume.ind)
+
+    def _proj(self, lw):
+        lw4 = np.eye(4, dtype=np.float32)
+        lw4[:3] = np.asarray(lw, dtype=np.float32)
+        return jnp.asarray(self._K @ lw4[:3] @ self._IND)
+
+    # ------------------------------------------------------------------ #
+    def compute_live_tsdf(
+        self, depths, lws, UseAutoAlignment=False, useICP=False, outputMesh=False
+    ):
+        """Fuse N depth maps (+3x4 extrinsics) into the canonical TSDF.
+
+        Reference core/fusion_dm.py:95-178: grid calibration from depth
+        statistics (or the hardcoded defaults), then either straight
+        accumulation or per-map rigid-ICP alignment.
+        """
+        if len(depths) != len(lws):
+            raise ValueError(
+                "length of camera matrix array Ks must equal that of depth maps"
+            )
+        avg = jnp.array([-0.03, -0.43, -5.6], dtype=jnp.float32)
+        std = jnp.float32(1.3)
+        if UseAutoAlignment:
+            avg, std = estimate_alignment(
+                jnp.asarray(np.stack(depths), dtype=jnp.float32),
+                jnp.asarray(self._Kinv),
+                jnp.asarray(np.stack(lws), dtype=jnp.float32),
+            )
+        ind = make_ind_matrix(self._tsdf_res, avg, std, factor=8.0)
+        self.volume = TsdfVolume.create(self._tsdf_res, self._tdist, ind=ind)
+        if self._verbose:
+            print("estimate center pt of input depth maps:", np.asarray(avg))
+            print("estimate std of input depth maps:", float(std))
+
+        if useICP:
+            for idx, (dm, lw) in enumerate(zip(depths, lws)):
+                if self._verbose:
+                    print("fusing depth map ", idx)
+                fresh = TsdfVolume.create(self._tsdf_res, self._tdist, ind=ind)
+                v, w = self._fuse(
+                    fresh.values, fresh.weights,
+                    jnp.asarray(dm, dtype=jnp.float32),
+                    self._proj(lw), jnp.asarray(self._Kinv),
+                )
+                if idx == 0:
+                    self.volume = self.volume.replace(values=v, weights=w)
+                    self.marching_cubes()
+                else:
+                    self._lw = jnp.asarray(IDENTITY_DQ)
+                    self.solve(v)
+                    self.updateTSDF(v)
+        else:
+            v, w = self.volume.values, self.volume.weights
+            for idx, (dm, lw) in enumerate(zip(depths, lws)):
+                if self._verbose:
+                    print("fusing depth map ", idx)
+                v, w = self._fuse(
+                    v, w, jnp.asarray(dm, dtype=jnp.float32),
+                    self._proj(lw), jnp.asarray(self._Kinv),
+                )
+            self.volume = self.volume.replace(values=v, weights=w)
+
+        if outputMesh:
+            np.save("tsdf_temp", np.asarray(self.volume.values))
+            self.write_canonical_mesh(os.getcwd(), "test.obj")
+        return (np.asarray(self.volume.values), np.asarray(self.volume.weights))
+
+    def fuseDepths(self, dm, lw, tsdf, tsdf_w, wmax=100.0):
+        """Single-map projective update on explicit arrays (functional)."""
+        v, w = self._fuse(
+            jnp.asarray(tsdf, dtype=jnp.float32),
+            jnp.asarray(tsdf_w, dtype=jnp.float32),
+            jnp.asarray(dm, dtype=jnp.float32),
+            self._proj(lw),
+            jnp.asarray(self._Kinv),
+        )
+        return np.asarray(v), np.asarray(w)
+
+    # ------------------------------------------------------------------ #
+    def marching_cubes(self, tsdf=None, step_size=1):
+        """Extract a surface; with no args, caches the canonical mesh like
+        the reference (core/fusion_dm.py:319-331)."""
+        if step_size < 1:
+            step_size = self._marching_cubes_step_size
+        target = self.volume.values if tsdf is None else jnp.asarray(tsdf)
+        out = marching_cubes(
+            target,
+            level=0.0,
+            vert_cap=self._vert_cap,
+            face_cap=self._face_cap,
+            step_size=step_size,
+        )
+        if tsdf is None:
+            self._mesh = out
+            if self._verbose:
+                print(
+                    "Marching Cubes result: number of extracted vertices is %d"
+                    % int(out["n_verts"])
+                )
+            return None
+        return out
+
+    # ------------------------------------------------------------------ #
+    def setupCorrespondences(self, curr_tsdf, prune_result=True, tolerance=1.0):
+        """Closest-point correspondences against the live TSDF surface
+        (reference core/fusion_dm.py:219-244: canonical verts are warped by
+        the global DQ only)."""
+        if self._mesh is None:
+            self.marching_cubes()
+        live = self.marching_cubes(curr_tsdf, step_size=1)
+        from ..ops.dualquat import dq_transform_normal, dq_transform_point
+
+        nv = int(self._mesh["n_verts"])
+        vmask = jnp.arange(self._vert_cap) < nv
+        wv = dq_transform_point(self._lw, self._mesh["verts"])
+        wn = dq_transform_normal(self._lw, self._mesh["normals"])
+        lmask = jnp.arange(self._vert_cap) < int(live["n_verts"])
+        corr, valid, _ = closest_point_correspondences(
+            wv, wn, vmask, live["verts"], lmask, self._knn, tolerance
+        )
+        self._correspondences = corr
+        self._corr_valid = valid
+        return corr, valid
+
+    def solve(self, curr_tsdf):
+        """Rigid ICP: 3 outer iterations of correspondence + 8-dof DQ GN
+        (reference core/fusion_dm.py:264-283)."""
+        self._itercounter += 1
+        for _ in range(3):
+            self.setupCorrespondences(curr_tsdf)
+            self._lw, cost = solve_rigid(
+                self._lw,
+                self._mesh["verts"],
+                self._mesh["normals"],
+                self._correspondences,
+                self._corr_valid,
+                iterations=12,
+            )
+            if self._verbose:
+                from ..ops.se3 import dq_to_se3
+
+                print("global transformation found:", np.asarray(dq_to_se3(self._lw)))
+        return self._lw
+
+    def updateTSDF(self, curr_tsdf, wmax=100.0):
+        v, w = self._update_rigid(
+            self.volume.values,
+            self.volume.weights,
+            jnp.asarray(curr_tsdf, dtype=jnp.float32),
+            self._lw,
+        )
+        self.volume = self.volume.replace(values=v, weights=w)
+
+    # ------------------------------------------------------------------ #
+    def write_canonical_mesh(self, path, filename):
+        out = marching_cubes(
+            self.volume.values,
+            level=0.0,
+            vert_cap=self._vert_cap,
+            face_cap=self._face_cap,
+            step_size=1,
+        )
+        nv, nf = int(out["n_verts"]), int(out["n_faces"])
+        save_obj(
+            os.path.join(path, filename),
+            np.asarray(out["verts"])[:nv],
+            np.asarray(out["faces"])[:nf],
+            normals=np.asarray(out["normals"])[:nv],
+            ind=self._IND,
+        )
+
+    def write_warp_field(self, path, filename):
+        if getattr(self, "_warp", None) is not None:
+            save_warp_field(self._warp, path, filename, self._itercounter)
+
+
+class Fusion:
+    """Non-rigid DynamicFusion driver (canonical TSDF + DQ warp field)."""
+
+    def __init__(
+        self,
+        tsdf,
+        trunc_distance,
+        subsample_rate=5.0,
+        knn=4,
+        marching_cubes_step_size=3,
+        verbose=False,
+        use_cnn=False,
+        write_warpfield=True,
+        vert_cap=1 << 16,
+        face_cap=1 << 17,
+        node_cap=2048,
+        warpfield_path=None,
+    ):
+        tsdf = np.asarray(tsdf)
+        if tsdf.ndim != 3:
+            raise ValueError("Only 3D numpy array is accepted as tsdf")
+        self._itercounter = 0
+        self._curr_tsdf = None
+        self._tdist = abs(float(trunc_distance))
+        # reference initial global pose (core/fusion.py:57)
+        self._lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], dtype=jnp.float32)
+        self._knn = knn
+        self._marching_cubes_step_size = marching_cubes_step_size
+        self._subsample_rate = subsample_rate
+        self._verbose = verbose
+        self._write_warpfield = write_warpfield
+        self._warpfield_path = warpfield_path or os.getcwd()
+        self._vert_cap = vert_cap
+        self._face_cap = face_cap
+        self._node_cap = node_cap
+        self._use_cnn = use_cnn
+        self._cnn = None
+        if use_cnn:
+            from .cnn_correspondence import CnnCorrespondence
+
+            self._cnn = CnnCorrespondence()
+
+        self.volume = TsdfVolume.create(tsdf.shape[0], self._tdist)
+        self.volume = self.volume.replace(
+            values=jnp.asarray(tsdf, dtype=jnp.float32),
+            weights=jnp.zeros(tsdf.shape, dtype=jnp.float32),
+        )
+        self._mesh = None
+        self._correspondences = None
+        self._corr_valid = None
+        self.InitializeCanonicalSpace()
+
+    # ------------------------------------------------------------------ #
+    @property
+    def _tsdf(self):
+        return self.volume.values
+
+    def InitializeCanonicalSpace(self):
+        """MC + sampling-radius estimate + initial graph (reference
+        core/fusion.py:73-96 intent)."""
+        self.marching_cubes()
+        self._radius = float(self._subsample_rate) * self._mean_edge_length()
+        if self._verbose:
+            print("sampling radius:", self._radius)
+        self.construct_graph()
+
+    def _mean_edge_length(self):
+        m = self._mesh
+        nf = int(m["n_faces"])
+        f = m["faces"]
+        v = m["verts"]
+        tri = jnp.take(v, f.reshape(-1), axis=0).reshape(-1, 3, 3)
+        e = (
+            jnp.linalg.norm(tri[:, 0] - tri[:, 1], axis=1)
+            + jnp.linalg.norm(tri[:, 0] - tri[:, 2], axis=1)
+            + jnp.linalg.norm(tri[:, 1] - tri[:, 2], axis=1)
+        ) / 3.0
+        mask = jnp.arange(f.shape[0]) < nf
+        return float(jnp.sum(jnp.where(mask, e, 0.0)) / jnp.maximum(nf, 1))
+
+    def construct_graph(self):
+        m = self._mesh
+        vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
+        self._warp = WF.construct_graph(
+            m["verts"], jnp.float32(self._radius), self._node_cap, valid=vmask
+        )
+        if self._verbose:
+            print(
+                "%d deformation nodes sampled, with average radius of %f"
+                % (int(self._warp.num_active), self._radius)
+            )
+        self._refresh_neighbors()
+
+    def _refresh_neighbors(self):
+        m = self._mesh
+        self._nbr_idx = WF.neighbor_lookup(self._warp, m["verts"], self._knn)
+        npos = jnp.take(self._warp.node_pos, self._nbr_idx, axis=0)
+        nw = jnp.take(self._warp.node_w, self._nbr_idx, axis=0)
+        d = jnp.linalg.norm(m["verts"][:, None, :] - npos, axis=-1)
+        act = jnp.take(self._warp.active, self._nbr_idx, axis=0)
+        self._blend_wts = jnp.where(act, jnp.exp(-((d / (2.0 * nw)) ** 2)), 0.0)
+
+    # ------------------------------------------------------------------ #
+    def marching_cubes(self, tsdf=None, step_size=0):
+        if step_size < 1:
+            step_size = self._marching_cubes_step_size
+        target = self.volume.values if tsdf is None else jnp.asarray(tsdf)
+        out = marching_cubes(
+            target,
+            level=0.0,
+            vert_cap=self._vert_cap,
+            face_cap=self._face_cap,
+            step_size=step_size,
+        )
+        if tsdf is None:
+            self._mesh = out
+            if self._verbose:
+                print(
+                    "Marching Cubes result: number of extracted vertices is %d"
+                    % int(out["n_verts"])
+                )
+            return None
+        return out
+
+    # ------------------------------------------------------------------ #
+    def _warped_mesh(self, m_lw=None):
+        m = self._mesh
+        return WF.warp_points(
+            self._warp, m["verts"], self._nbr_idx, normals=m["normals"],
+            m_lw=m_lw,
+        )
+
+    def setupCorrespondences(
+        self, curr_tsdf, method="cnn", prune_result=True, tolerance=0.2
+    ):
+        """Find live-frame correspondences (reference
+        core/fusion.py:243-313). ``prune_result`` masks outliers by
+        point-to-plane cost instead of deleting vertices."""
+        self._curr_tsdf = jnp.asarray(curr_tsdf, dtype=jnp.float32)
+        live = self.marching_cubes(self._curr_tsdf, step_size=1)
+        m = self._mesh
+        vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
+        lmask = jnp.arange(self._vert_cap) < int(live["n_verts"])
+        wv, wn = self._warped_mesh(m_lw=self._lw)
+
+        if self._cnn is None or method == "clpts":
+            if self._verbose:
+                print("Using closest pts method for finding correspondences...")
+            corr, valid, _ = closest_point_correspondences(
+                wv, wn, vmask, live["verts"], lmask, self._knn, tolerance
+            )
+        else:
+            if self._verbose:
+                print("Using cnn method for finding correspondences...")
+            corr, valid = self._cnn.match(
+                m, live, vmask, lmask
+            )
+            if prune_result:
+                from .correspondence import prune_by_plane_cost
+
+                valid, _ = prune_by_plane_cost(wv, wn, corr, valid, tolerance)
+        self._correspondences = corr
+        self._corr_valid = valid
+        if self._verbose:
+            n = int(jnp.sum(vmask))
+            rej = int(jnp.sum(vmask & ~valid))
+            print("ratio of correspondence outlier rejection", rej / max(n, 1))
+        return corr, valid
+
+    # ------------------------------------------------------------------ #
+    def solve(
+        self,
+        correspondences=None,
+        method="cnn",
+        precompute_lw=True,
+        tukey_data_weight=0.2,
+        huber_regularization_weight=0.001,
+        regularization_weight=1.0,
+    ):
+        """Warp-field estimation for the current frame (reference
+        core/fusion.py:327-412): optional global-pose presolve, then GN
+        over node DQs with the regularization-relaxation schedule."""
+        if correspondences is not None:
+            self._correspondences = jnp.asarray(correspondences, dtype=jnp.float32)
+            self._corr_valid = jnp.ones(
+                self._correspondences.shape[0], dtype=bool
+            )
+        if self._correspondences is None:
+            raise ValueError(
+                "Please first call setupCorrespondences to compute point to "
+                "point correspondences between canonical and live frame vertices!"
+            )
+        iteration = 3 if method == "clpts" else 1
+        self._itercounter += 1
+
+        if precompute_lw:
+            if self._verbose:
+                print("estimating global transformation lw...")
+            pv, pn = self._warped_mesh(m_lw=None)
+            self._lw, _ = solve_rigid(
+                self._lw, pv, pn, self._correspondences, self._corr_valid,
+                iterations=12,
+            )
+            if self._verbose:
+                from ..ops.se3 import dq_to_se3
+
+                print("global transformation found:", np.asarray(dq_to_se3(self._lw)))
+            if method == "clpts":
+                self.setupCorrespondences(self._curr_tsdf, method="clpts")
+
+        m = self._mesh
+        rw = float(regularization_weight)
+        for it in range(iteration):
+            if it > 0 and correspondences is None:
+                self.setupCorrespondences(self._curr_tsdf, method="clpts")
+
+            pair_i, pair_j, pair_scale, pair_mask = make_reg_pairs(
+                self._warp.node_vert_idx, self._nbr_idx, self._warp.node_w,
+                self._warp.active, jnp.float32(rw),
+            )
+            pair_v = jnp.take(self._warp.node_pos, pair_j, axis=0)
+            data_args = (
+                m["verts"], m["normals"], self._correspondences,
+                self._corr_valid, self._nbr_idx, self._blend_wts,
+            )
+            reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
+            cost_before = float(
+                nonrigid_energy(
+                    self._warp.node_dq, data_args, reg_args, self._lw,
+                    robust=False,
+                )
+            )
+            if self._verbose:
+                print("Cost before optimization:", cost_before)
+                print("Current regularization weight:", rw)
+
+            new_dq, _, cost_after = solve_nonrigid(
+                self._warp.node_dq, *data_args, *reg_args, self._lw,
+                gn_iters=8, cg_iters=32,
+            )
+            self._warp = self._warp.replace(node_dq=new_dq)
+            cost_after = float(cost_after)
+            if self._verbose:
+                print(
+                    "Optimized cost at %d iteration: %f"
+                    % (self._itercounter, cost_after)
+                )
+
+            reduct = (cost_before - cost_after) / max(cost_before, 1e-30)
+            if 0.05 < reduct < 0.9:
+                rw /= 8.0
+                if self._verbose:
+                    print("Cost reduction rate:", reduct)
+            else:
+                break
+
+    # ------------------------------------------------------------------ #
+    def updateTSDF(self, curr_tsdf=None, wmax=100.0):
+        """Non-rigid canonical fusion (reference core/fusion.py:153-198),
+        as one fused brick-chunked device pass."""
+        if curr_tsdf is not None:
+            self._curr_tsdf = jnp.asarray(curr_tsdf, dtype=jnp.float32)
+        if self._curr_tsdf is None:
+            raise ValueError("tsdf of live frame has not been loaded")
+        if self._curr_tsdf.ndim != 3:
+            raise ValueError("Only accept 3D np array as tsdf")
+        res = self.volume.values.shape[0]
+        brick = 8 if res % 8 == 0 else (4 if res % 4 == 0 else 1)
+        vals, r0 = _pad_to_multiple(self.volume.values, brick, self._tdist)
+        wts, _ = _pad_to_multiple(self.volume.weights, brick, 0.0)
+        v, w = WF.update_tsdf_nonrigid(
+            vals, wts, self._curr_tsdf, self._warp, self._lw,
+            k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
+            n_candidates=min(16, self._node_cap),
+        )
+        self.volume = self.volume.replace(
+            values=v[:r0, :r0, :r0], weights=w[:r0, :r0, :r0]
+        )
+
+    # ------------------------------------------------------------------ #
+    def update_graph(self):
+        """Graph maintenance after fusion (reference core/fusion.py:201-239)."""
+        self.marching_cubes()
+        m = self._mesh
+        vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
+        n_before = int(self._warp.num_active)
+        self._warp = WF.update_graph(self._warp, m["verts"], vmask, self._knn)
+        self._refresh_neighbors()
+        if self._verbose:
+            n_after = int(self._warp.num_active)
+            print(
+                "Inserted %d new deformation nodes. Current number of "
+                "deformation nodes: %d" % (n_after - n_before, n_after)
+            )
+        self._curr_tsdf = None
+        self._correspondences = None
+        if self._write_warpfield:
+            self.write_warp_field(self._warpfield_path, "test")
+
+    # ------------------------------------------------------------------ #
+    def warp(self, pos, normal=None, m_lw=None):
+        """Warp arbitrary points through the current field (reference
+        ``warp`` with KDTree lookup, core/fusion.py:502-520)."""
+        pos = jnp.asarray(pos, dtype=jnp.float32)
+        single = pos.ndim == 1
+        p = pos[None] if single else pos
+        _, idx = knn(p, self._warp.node_pos, self._knn, valid=self._warp.active)
+        if normal is not None:
+            nrm = jnp.asarray(normal, dtype=jnp.float32)
+            nrm = nrm[None] if single else nrm
+            out, n = WF.warp_points(self._warp, p, idx, normals=nrm, m_lw=m_lw)
+            return (np.asarray(out[0]), np.asarray(n[0])) if single else (
+                np.asarray(out), np.asarray(n))
+        out = WF.warp_points(self._warp, p, idx, m_lw=m_lw)
+        return np.asarray(out[0]) if single else np.asarray(out)
+
+    def dq_blend(self, pos):
+        """Blend the field at a point (reference core/fusion.py:527-551)."""
+        pos = jnp.asarray(pos, dtype=jnp.float32)
+        single = pos.ndim == 1
+        p = pos[None] if single else pos
+        _, idx = knn(p, self._warp.node_pos, self._knn, valid=self._warp.active)
+        out = WF.blend_at(self._warp, p, idx)
+        return np.asarray(out[0]) if single else np.asarray(out)
+
+    # ------------------------------------------------------------------ #
+    def write_warp_field(self, path, filename):
+        save_warp_field(self._warp, path, filename, self._itercounter)
+
+    def write_canonical_mesh(self, path, filename):
+        out = marching_cubes(
+            self.volume.values,
+            level=0.0,
+            vert_cap=self._vert_cap,
+            face_cap=self._face_cap,
+            step_size=1,
+        )
+        nv, nf = int(out["n_verts"]), int(out["n_faces"])
+        save_obj(
+            os.path.join(path, filename),
+            np.asarray(out["verts"])[:nv],
+            np.asarray(out["faces"])[:nf],
+            normals=np.asarray(out["normals"])[:nv],
+        )
+
+    def write_live_frame_mesh(self, path, filename, warpfield_path):
+        """Warp the canonical mesh by a checkpointed field and export —
+        implements the stub the reference left empty
+        (core/fusion.py:589-590)."""
+        from ..io.warpfield_io import load_warp_field_nodes
+
+        pos, dq, w, _ = load_warp_field_nodes(warpfield_path)
+        m = self._mesh if self._mesh is not None else None
+        if m is None:
+            self.marching_cubes()
+            m = self._mesh
+        nv = int(m["n_verts"])
+        verts = m["verts"][:nv]
+        _, idx = knn(verts, jnp.asarray(pos), min(self._knn, len(pos)))
+        npos = jnp.take(jnp.asarray(pos), idx, axis=0)
+        ndq = jnp.take(jnp.asarray(dq), idx, axis=0)
+        nw = jnp.take(jnp.asarray(w), idx, axis=0)
+        from ..ops.dualquat import dq_blend as _blend, dq_transform_point
+
+        se3 = _blend(verts, npos, ndq, nw)
+        warped = dq_transform_point(se3, verts)
+        warped = dq_transform_point(self._lw, warped)
+        nf = int(m["n_faces"])
+        save_obj(
+            os.path.join(path, filename),
+            np.asarray(warped),
+            np.asarray(m["faces"])[:nf],
+        )
+
+    def average_edge_dist_in_face(self, f):
+        v = np.asarray(self._mesh["verts"])
+        v1, v2, v3 = v[f[0]], v[f[1]], v[f[2]]
+        return (
+            np.linalg.norm(v1 - v2)
+            + np.linalg.norm(v1 - v3)
+            + np.linalg.norm(v2 - v3)
+        ) / 3.0
+
+
+FusionDM_GPU = FusionDM  # every path is device-accelerated on TPU
