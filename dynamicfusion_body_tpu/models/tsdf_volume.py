@@ -67,18 +67,20 @@ def fuse_depth(
     kinv: jax.Array,
     tdist: float,
     wmax: float = 100.0,
+    x_offset=0,
 ):
     """One projective TSDF update from one depth map (XLA path).
 
     values/weights: (R,R,R); depth: (H,W) negative-depth map; proj: (3,4)
-    = K·lw·IND; kinv: (3,3). Functional spec: reference OpenCL kernel
-    core/fusion_dm.py:630-673 (verified against a NumPy transcription in
-    tests/test_fusion.py).
+    = K·lw·IND; kinv: (3,3); x_offset: global x index of this block's
+    first plane (used by the sharded path — each device owns an x-slab).
+    Functional spec: reference OpenCL kernel core/fusion_dm.py:630-673
+    (verified against a NumPy transcription in tests/test_fusion_kernels.py).
     """
     rx, ry, rz = values.shape
     h, w = depth.shape
     f32 = jnp.float32
-    xs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 0)
+    xs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 0) + x_offset
     ys = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 1)
     zs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 2)
 

@@ -124,7 +124,7 @@ def warp_points(
 
 
 def brick_candidates(
-    wf: WarpField, shape, brick: int, n_candidates: int
+    wf: WarpField, shape, brick: int, n_candidates: int, x_offset=0
 ) -> jax.Array:
     """Exact kNN of every brick center over the node pool → (NB, C) indices.
 
@@ -137,7 +137,7 @@ def brick_candidates(
     def centers_1d(n):
         return (jnp.arange(n, dtype=jnp.float32) * brick) + (brick - 1) / 2.0
 
-    cx = jnp.repeat(centers_1d(nbx), nby * nbz)
+    cx = jnp.repeat(centers_1d(nbx) + x_offset, nby * nbz)
     cy = jnp.tile(jnp.repeat(centers_1d(nby), nbz), nbx)
     cz = jnp.tile(centers_1d(nbz), nbx * nby)
     centers = jnp.stack([cx, cy, cz], axis=-1)
@@ -175,6 +175,7 @@ def update_tsdf_nonrigid(
     wmax: float = 100.0,
     brick: int = 8,
     n_candidates: int = 8,
+    x_offset=0,
 ):
     """Non-rigid canonical TSDF fusion — the reference's hottest loop
     (core/fusion.py:153-198) as a fused, brick-chunked device computation.
@@ -186,7 +187,9 @@ def update_tsdf_nonrigid(
     """
     rx, ry, rz = values.shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
-    cand = brick_candidates(wf, values.shape, brick, n_candidates)  # (NB, C)
+    cand = brick_candidates(
+        wf, values.shape, brick, n_candidates, x_offset=x_offset
+    )  # (NB, C)
     f32 = jnp.float32
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 1)
@@ -194,7 +197,7 @@ def update_tsdf_nonrigid(
     xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 0)
 
     def slab(s):
-        xs = (xx0 + s * brick).astype(f32)
+        xs = (xx0 + s * brick).astype(f32) + x_offset
         pos = jnp.stack([xs, yy.astype(f32), zz.astype(f32)], axis=-1).reshape(-1, 3)
         bid = (s * nby + yy // brick) * nbz + zz // brick
         cidx = jnp.take(cand, bid.reshape(-1), axis=0)  # (N, C)

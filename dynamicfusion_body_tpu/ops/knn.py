@@ -31,15 +31,18 @@ def knn(
     points: jax.Array,
     k: int,
     valid: jax.Array | None = None,
-    chunk: int = 8192,
+    chunk: int | None = None,
 ):
     """Exact k-NN: returns (dists (Q,k), idx (Q,k) int32), ascending.
 
     ``valid`` masks out pool slots (distance +inf). Queries are processed in
-    chunks to bound the (chunk, P) distance matrix in memory.
+    chunks to bound the (chunk, P) distance matrix in memory (default:
+    ≤ ~512 MB per chunk).
     """
     nq = queries.shape[0]
     npts = points.shape[0]
+    if chunk is None:
+        chunk = max(256, min(8192, (1 << 27) // max(npts, 1)))
     k = min(k, npts)
     pad = (-nq) % chunk
     qpad = jnp.pad(queries, ((0, pad), (0, 0)))
