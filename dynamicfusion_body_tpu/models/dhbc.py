@@ -1,0 +1,166 @@
+"""DHBC dense-human-body-correspondence feature network (Flax).
+
+Topology transcribed from the reference's TF1/slim graph
+(core/net.py:15-56): an AlexNet-ish encoder (96/11/s4 → 256/5 → 384/384/256
+→ two 4096 1x1 convs, 3x3 maxpools between stages) and a skip-connected
+nearest-neighbor-upsample decoder ending in a 16-channel feature map at
+input resolution. Activation is ELU (the reference's explicit
+``activation_fn=tf.nn.elu``), padding is reflect-free manual zero padding
+with VALID convs, exactly mirroring ``_conv``/``_maxpool``
+(core/net.py:94-118).
+
+The reference restores a TF checkpoint from Google Drive
+(core/models/README.txt); that artifact is external, so this module
+supports (a) random init and (b) loading converted weights from an .npz
+via ``load_npz_params`` — the training utilities in ``classify``/``_loss``
+were dead code in the reference (SURVEY §2.4) and are superseded by a
+working loss in train_dhbc below.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad(x, p):
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+
+
+class _Conv(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        x = _pad(x, p)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+        )(x)
+        return nn.elu(x)
+
+
+def _maxpool(x, k=3, stride=2):
+    p = (k - 1) // 2
+    x = _pad(x, p)
+    return nn.max_pool(x, (k, k), strides=(stride, stride), padding="VALID")
+
+
+def _upsample_nn(x, ratio=2):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * ratio, w * ratio, c), method="nearest")
+
+
+class DHBC(nn.Module):
+    """Input (B,H,W,1) normalized depth; output (B,H,W,16) descriptors."""
+
+    features: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        conv1 = _Conv(96, 11, 4)(x)        # H/4
+        pool1 = _maxpool(conv1)            # H/8
+        conv2 = _Conv(256, 5)(pool1)       # H/8
+        pool2 = _maxpool(conv2)            # H/16
+        conv3 = _Conv(384, 3)(pool2)
+        conv4 = _Conv(384, 3)(conv3)
+        conv5 = _Conv(256, 3)(conv4)       # H/16
+        pool5 = _maxpool(conv5)            # H/32
+        conv6 = _Conv(4096, 1)(pool5)
+        conv7 = _Conv(4096, 1)(conv6)      # H/32
+
+        up5 = _Conv(256, 3)(_upsample_nn(conv7))          # H/16
+        i5 = _Conv(256, 3)(jnp.concatenate([up5, conv5], -1))
+        up4 = _Conv(256, 3)(_upsample_nn(i5))             # H/8
+        i4 = _Conv(256, 3)(jnp.concatenate([up4, conv2], -1))
+        up3 = _Conv(96, 3)(_upsample_nn(i4))              # H/4
+        i3 = _Conv(96, 3)(jnp.concatenate([up3, conv1], -1))
+        up2 = _Conv(48, 3)(_upsample_nn(i3))              # H/2
+        up1 = _Conv(self.features, 3)(_upsample_nn(up2))  # H
+        return up1
+
+
+def init_dhbc(rng_seed: int = 0, h: int = 512, w: int = 512):
+    model = DHBC()
+    params = model.init(
+        jax.random.PRNGKey(rng_seed), jnp.zeros((1, h, w, 1), jnp.float32)
+    )
+    return model, params
+
+
+def load_npz_params(params, npz_path: str):
+    """Overlay converted weights onto an init pytree by flattened-path name
+    (paths like 'params/_Conv_0/Conv_0/kernel')."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    data = np.load(npz_path)
+    missing = []
+    for k in flat:
+        if k in data.files:
+            flat[k] = jnp.asarray(data[k])
+        else:
+            missing.append(k)
+    if missing:
+        print(f"dhbc: {len(missing)} params not found in {npz_path}, kept init")
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+def save_npz_params(params, npz_path: str):
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    np.savez(npz_path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+# --------------------------------------------------------------------- #
+# Training — the reference's classify/_loss were bit-rotted dead code
+# (core/net.py:58-87: missing self, undefined conf). This is the working
+# equivalent: per-pixel correspondence classification heads over the
+# feature map with masked softmax cross-entropy, as described in the DHBC
+# paper the reference follows.
+
+
+def dhbc_loss(features, labels, n_classes, head_kernel):
+    """features (B,H,W,16); labels (B,H,W) int32, 0 = unlabeled (masked);
+    head_kernel (16, n_classes) classifier. Masked mean cross-entropy
+    scaled by total/valid pixels like the reference's _loss intent."""
+    logits = jnp.einsum("bhwf,fc->bhwc", features, head_kernel)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    mask = labels > 0
+    lab = jnp.maximum(labels - 1, 0)
+    nll = -jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    valid = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / valid
+
+
+def make_train_step(model, learning_rate=1e-4, n_classes=500):
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def loss_fn(params, head, depth, labels):
+        feats = model.apply(params, depth)
+        return dhbc_loss(feats, labels, n_classes, head)
+
+    @jax.jit
+    def step(params, head, opt_state, depth, labels):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, head, depth, labels
+        )
+        updates, opt_state = tx.update(grads[0], opt_state, params)
+        params = optax.apply_updates(params, updates)
+        head = head - learning_rate * grads[1]
+        return params, head, opt_state, loss
+
+    def init_opt(params):
+        return tx.init(params)
+
+    return step, init_opt

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def pairwise_sqdist(q: jax.Array, p: jax.Array) -> jax.Array:
-    """(Q,3),(P,3) → (Q,P) squared distances via MXU-friendly matmul."""
+    """(Q,D),(P,D) → (Q,P) squared distances via MXU-friendly matmul."""
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     pp = jnp.sum(p * p, axis=-1)
     cross = jnp.dot(q, p.T, preferred_element_type=jnp.float32,
@@ -56,14 +56,15 @@ def knn(
         neg, idx = jax.lax.top_k(-(d2 + tie[None, :]), k)
         # Recompute exact distances for the selected k (the matmul form
         # loses fp32 precision to cancellation; k·Q direct diffs are cheap).
-        sel = jnp.take(points, idx.reshape(-1), axis=0).reshape(idx.shape + (3,))
+        sel = jnp.take(points, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (points.shape[-1],))
         d2s = jnp.sum((qc[:, None, :] - sel) ** 2, axis=-1)
         if valid is not None:
             vs = jnp.take(valid, idx.reshape(-1), axis=0).reshape(idx.shape)
             d2s = jnp.where(vs, d2s, jnp.inf)
         return jnp.sqrt(d2s), idx.astype(jnp.int32)
 
-    d, i = jax.lax.map(one, qpad.reshape(nchunks, chunk, 3))
+    d, i = jax.lax.map(one, qpad.reshape(nchunks, chunk, queries.shape[-1]))
     d = d.reshape(-1, k)[:nq]
     i = i.reshape(-1, k)[:nq]
     return d, i

@@ -1,0 +1,130 @@
+"""Learned (CNN) correspondence pipeline.
+
+Replaces the reference's TF1 + OpenGL flow (core/sdf.py:75-150 +
+core/fusion.py:277-296): render the mesh from 24 yaw angles (15° steps),
+convert the z-buffer to the 8-bit linearized depth the network expects,
+run DHBC to get per-pixel 16-D descriptors, scatter-average them onto
+vertices via the ID render, then match canonical↔live vertices by
+nearest descriptor.
+
+TPU design: the renderer emits vertex IDs directly (no 24-bit color codec
+round-trip — that codec still exists in utils/colorcodec.py for format
+parity), the per-view loop is a ``lax.map`` over precomputed MVPs, and the
+feature scatter is a ``segment_sum`` — the whole descriptor computation is
+one jitted program instead of 24 GL readbacks + session.run calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dhbc import DHBC, init_dhbc, load_npz_params
+from ..render import glmath
+from ..render.raster import render_id
+from .correspondence import feature_correspondences
+
+
+def view_mvps(n_views: int = 24, znear: float = 1.0, zfar: float = 3.5,
+              swi: float = 35.0, max_swi: float = 70.0, dis: float = 200.0):
+    """The reference's 24 view matrices (core/sdf.py:124-131)."""
+    proj = glmath.perspective(glmath.radians(70), 1.0, znear, zfar)
+    mvps = []
+    for rot in range(0, 360, 360 // n_views):
+        mod = glmath.identity()
+        mod = glmath.rotate(mod, glmath.radians(swi - max_swi / 2), glmath.vec3(0, 1, 0))
+        mod = glmath.translate(mod, glmath.vec3(0, 0, -dis / 100.0))
+        mod = glmath.rotate(mod, glmath.radians(rot), glmath.vec3(0, 1, 0))
+        mvps.append(proj @ mod)
+    return np.stack(mvps).astype(np.float32)
+
+
+def regularize_verts(verts, vert_mask, flipyz: bool = False):
+    """Center + scale to 1.8-unit height over VALID verts (masked version
+    of core/meshutil.py:62-69)."""
+    if flipyz:
+        verts = verts[:, [0, 2, 1]]
+    big = jnp.where(vert_mask[:, None], verts, jnp.nan)
+    ymax = jnp.nanmax(big[:, 1])
+    ymin = jnp.nanmin(big[:, 1])
+    mean = jnp.nanmean(big, axis=0)
+    scale = 1.8 / jnp.maximum(ymax - ymin, 1e-6)
+    out = (verts - mean) * scale
+    return jnp.where(vert_mask[:, None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "S"))
+def _descriptors(model_params, verts, faces, face_mask, vert_mask, mvps,
+                 znear, zfar, h: int = 512, w: int = 512, S: int = 8):
+    """Per-vertex 16-D descriptors averaged over all views (one jitted
+    program; reference loop core/sdf.py:126-150)."""
+    model = DHBC()
+    reg = regularize_verts(verts, vert_mask)
+    b = zfar * znear / (znear - zfar)
+    a = -b / znear
+    n_verts = verts.shape[0]
+
+    def one_view(mvp):
+        ids, zwin = render_id(reg, faces, face_mask, mvp, h, w, S=S)
+        depth8 = jnp.floor(
+            jnp.clip((zfar - b / (zwin - a)) / (zfar - znear) * 255.0, 0, 255)
+        )
+        feats = model.apply(
+            model_params, depth8[None, :, :, None].astype(jnp.float32)
+        )[0]  # (h, w, 16)
+        mask = ids > 0
+        seg = jnp.where(mask, ids - 1, n_verts).reshape(-1)
+        fsum = jax.ops.segment_sum(
+            feats.reshape(-1, feats.shape[-1]), seg, num_segments=n_verts + 1
+        )[:n_verts]
+        cnt = jax.ops.segment_sum(
+            mask.reshape(-1).astype(jnp.float32), seg, num_segments=n_verts + 1
+        )[:n_verts]
+        return fsum, cnt
+
+    fsums, cnts = jax.lax.map(one_view, mvps)
+    fsum = jnp.sum(fsums, axis=0)
+    cnt = jnp.sum(cnts, axis=0)
+    return fsum / jnp.maximum(cnt, 1.0)[:, None], cnt
+
+
+class CnnCorrespondence:
+    """Driver-facing wrapper (the reference's cnnInitialize +
+    compute_correspondence pair, core/sdf.py:75-150)."""
+
+    def __init__(self, weights_npz: str | None = None, image_size: int = 512,
+                 n_views: int = 24, znear: float = 1.0, zfar: float = 3.5):
+        self.model, self.params = init_dhbc(h=image_size, w=image_size)
+        if weights_npz is not None:
+            self.params = load_npz_params(self.params, weights_npz)
+        self.image_size = image_size
+        self.mvps = jnp.asarray(view_mvps(n_views, znear, zfar))
+        self.znear, self.zfar = znear, zfar
+
+    def compute_correspondence(self, verts, faces, face_mask, vert_mask):
+        """[N,16] descriptor per vertex (masked slots zero)."""
+        feats, cnt = _descriptors(
+            self.params, verts, faces, face_mask, vert_mask, self.mvps,
+            self.znear, self.zfar, h=self.image_size, w=self.image_size,
+        )
+        return jnp.where(vert_mask[:, None], feats, 0.0), cnt
+
+    def match(self, canon_mesh, live_mesh, vmask, lmask):
+        """Feature-space matching canonical → live (core/fusion.py:280-285).
+        Returns (corr (V,3), valid (V,))."""
+        cf, _ = self.compute_correspondence(
+            canon_mesh["verts"], canon_mesh["faces"],
+            jnp.arange(canon_mesh["faces"].shape[0]) < canon_mesh["n_faces"],
+            vmask,
+        )
+        lf, _ = self.compute_correspondence(
+            live_mesh["verts"], live_mesh["faces"],
+            jnp.arange(live_mesh["faces"].shape[0]) < live_mesh["n_faces"],
+            lmask,
+        )
+        # invalid live descriptors must never win the NN search
+        lf = jnp.where(lmask[:, None], lf, 1e10)
+        return feature_correspondences(cf, vmask, lf, live_mesh["verts"], lmask)
