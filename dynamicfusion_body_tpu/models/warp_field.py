@@ -184,42 +184,98 @@ def update_tsdf_nonrigid(
     trilerp live TSDF → running average with wi = mean node distance and
     the wi_t==0 → wi substitution. Processes one x-slab of ``brick`` planes
     per lax.map step to bound transient memory.
+
+    TPU layout note: all per-voxel intermediates are 1-D (N,) component
+    arrays (structure-of-arrays) — (N,3)/(N,C,3) shapes would pad their
+    minor dims to the (8,128) tile and blow HBM 42× at 256³.
     """
+    from ..ops.compwise import (
+        dq_normal_c,
+        dq_normalize8_c,
+        dq_point_c,
+    )
+
     rx, ry, rz = values.shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
-    cand = brick_candidates(
-        wf, values.shape, brick, n_candidates, x_offset=x_offset
-    )  # (NB, C)
+    C = n_candidates
+    cand_cols = [
+        c[0] for c in jnp.split(
+            brick_candidates(wf, values.shape, brick, C, x_offset=x_offset).T,
+            C, axis=0,
+        )
+    ]  # C arrays of (NB,)
     f32 = jnp.float32
+    big = jnp.float32(3.4e38)
+
+    node_x, node_y, node_z = (wf.node_pos[:, a] for a in range(3))
+    dq_cols = tuple(wf.node_dq[:, c] for c in range(8))
+    lw = tuple(lw_dq[c] for c in range(8))
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 1)
     zz = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 2)
     xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 0)
 
     def slab(s):
-        xs = (xx0 + s * brick).astype(f32) + x_offset
-        pos = jnp.stack([xs, yy.astype(f32), zz.astype(f32)], axis=-1).reshape(-1, 3)
-        bid = (s * nby + yy // brick) * nbz + zz // brick
-        cidx = jnp.take(cand, bid.reshape(-1), axis=0)  # (N, C)
-        sel, dists = _voxel_knn_from_candidates(pos, cidx, wf, k)
+        px = ((xx0 + s * brick).astype(f32) + x_offset).reshape(-1)
+        py = yy.astype(f32).reshape(-1)
+        pz = zz.astype(f32).reshape(-1)
+        bid = ((s * nby + yy // brick) * nbz + zz // brick).reshape(-1)  # (N,)
 
-        npos = jnp.take(wf.node_pos, sel, axis=0)
-        ndq = jnp.take(wf.node_dq, sel, axis=0)
-        nw = jnp.take(wf.node_w, sel, axis=0)
-        nact = jnp.take(wf.active, sel, axis=0)
-        se3 = dq_blend(pos, npos, ndq, nw, mask=nact)
-        warped = dq_transform_point(se3, pos)
-        warped = dq_transform_point(lw_dq, warped)
+        # per-candidate node index + squared distance, as C 1-D arrays
+        cidx = [jnp.take(col, bid, axis=0) for col in cand_cols]
+        d2 = []
+        for ci in cidx:
+            dx = px - jnp.take(node_x, ci, axis=0)
+            dy = py - jnp.take(node_y, ci, axis=0)
+            dz = pz - jnp.take(node_z, ci, axis=0)
+            act = jnp.take(wf.active, ci, axis=0)
+            d2.append(jnp.where(act, dx * dx + dy * dy + dz * dz, big))
 
-        tsdf_l, valid = trilinear(live, warped)
+        # exact top-k among the C candidates: k argmin passes (first-min
+        # tie-break = lowest candidate rank, matching KDTree ordering)
+        sel_idx, sel_d = [], []
+        for _ in range(k):
+            best_d = d2[0]
+            best_c = jnp.zeros_like(bid)
+            for c in range(1, C):
+                upd = d2[c] < best_d
+                best_d = jnp.where(upd, d2[c], best_d)
+                best_c = jnp.where(upd, c, best_c)
+            sel = cidx[0]
+            for c in range(1, C):
+                sel = jnp.where(best_c == c, cidx[c], sel)
+            sel_idx.append(sel)
+            sel_d.append(jnp.sqrt(jnp.minimum(best_d, big)))
+            d2 = [
+                jnp.where(best_c == c, big, d2[c]) for c in range(C)
+            ]
+
+        # DQB blend over the k selected nodes (componentwise accumulate)
+        acc = [jnp.zeros_like(px) for _ in range(8)]
+        wi_sum = jnp.zeros_like(px)
+        wi_cnt = jnp.zeros_like(px)
+        for kk in range(k):
+            sel = sel_idx[kk]
+            act = jnp.take(wf.active, sel, axis=0)
+            nwk = jnp.take(wf.node_w, sel, axis=0)
+            dk = sel_d[kk]
+            w = jnp.where(act, jnp.exp(-((dk / (2.0 * nwk)) ** 2)), 0.0)
+            for c in range(8):
+                acc[c] = acc[c] + w * jnp.take(dq_cols[c], sel, axis=0)
+            finite = act & (dk < 1e18)
+            wi_sum = wi_sum + jnp.where(finite, dk, 0.0)
+            wi_cnt = wi_cnt + finite.astype(f32)
+
+        se3 = dq_normalize8_c(tuple(acc))
+        wx, wy, wz = dq_point_c(se3, (px, py, pz))
+        wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
+
+        tsdf_l, valid = _trilinear_c(live, wx, wy, wz)
 
         vals = jax.lax.dynamic_slice_in_dim(values, s * brick, brick, 0).reshape(-1)
         wts = jax.lax.dynamic_slice_in_dim(weights, s * brick, brick, 0).reshape(-1)
 
-        finite = jnp.isfinite(dists) & nact
-        wi = jnp.sum(jnp.where(finite, dists, 0.0), axis=1) / jnp.maximum(
-            jnp.sum(finite, axis=1), 1
-        )
+        wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
         wi_t = jnp.where(wts == 0.0, wi, wts)
         upd = valid & (tsdf_l > -tdist)
         denom = jnp.maximum(wi + wi_t, 1e-30)
@@ -231,6 +287,41 @@ def update_tsdf_nonrigid(
 
     out_v, out_w = jax.lax.map(slab, jnp.arange(nbx))
     return out_v.reshape(rx, ry, rz), out_w.reshape(rx, ry, rz)
+
+
+def _trilinear_c(volume, px, py, pz):
+    """Componentwise trilerp (semantics of ops.interp.trilinear) on (N,)
+    coordinate arrays — avoids the (N,3) padded layout."""
+    rx, ry, rz = volume.shape
+    fx = jnp.clip(px, 0.0, rx - 1.0)
+    fy = jnp.clip(py, 0.0, ry - 1.0)
+    fz = jnp.clip(pz, 0.0, rz - 1.0)
+    valid = (
+        (px >= 0.0) & (px <= rx - 1.0)
+        & (py >= 0.0) & (py <= ry - 1.0)
+        & (pz >= 0.0) & (pz <= rz - 1.0)
+    )
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, rx - 1)
+    y1 = jnp.minimum(y0 + 1, ry - 1)
+    z1 = jnp.minimum(z0 + 1, rz - 1)
+    xd = fx - x0
+    yd = fy - y0
+    zd = fz - z0
+    flat = volume.reshape(-1)
+
+    def g(ix, iy, iz):
+        return jnp.take(flat, (ix * ry + iy) * rz + iz, axis=0)
+
+    c00 = g(x0, y0, z0) * (1 - xd) + g(x1, y0, z0) * xd
+    c01 = g(x0, y1, z0) * (1 - xd) + g(x1, y1, z0) * xd
+    c10 = g(x0, y0, z1) * (1 - xd) + g(x1, y0, z1) * xd
+    c11 = g(x0, y1, z1) * (1 - xd) + g(x1, y1, z1) * xd
+    c0 = c00 * (1 - yd) + c01 * yd
+    c1 = c10 * (1 - yd) + c11 * yd
+    return c0 * (1 - zd) + c1 * zd, valid
 
 
 def update_graph(

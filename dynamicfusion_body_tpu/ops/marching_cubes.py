@@ -94,33 +94,33 @@ def marching_cubes(
             jnp.pad(jnp.where(cross, t, 0.0), pad),
         )
 
+    # TPU layout note: the edge lattice is kept as 1-D axis-major arrays —
+    # edge id = a·XYZ + ((i·Y + j)·Z + k). Any (…,3) trailing dim on the
+    # 3·XYZ-sized arrays would pad to the (8,128) tile (42× HBM).
     crosses, ts = zip(*(axis_cross(a) for a in range(3)))
-    edge_mask = jnp.stack(crosses, axis=-1)  # (X,Y,Z,3)
-    edge_t = jnp.stack(ts, axis=-1)
+    nxyz = X * Y * Z
 
-    flat_mask = edge_mask.reshape(-1)
+    flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
     rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # rank per edge
     n_verts = rank[-1] + 1  # total crossings (0 if none: cumsum ends at -1)
 
-    # positions: base lattice point + t along axis
-    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 0)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 1)
-    gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z, 3), 2)
-    ax = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z, 3), 3)
-    pos = jnp.stack(
-        [
-            gx + jnp.where(ax == 0, edge_t, 0.0),
-            gy + jnp.where(ax == 1, edge_t, 0.0),
-            gz + jnp.where(ax == 2, edge_t, 0.0),
-        ],
-        axis=-1,
-    ).reshape(-1, 3)
-
-    scatter_idx = jnp.where(flat_mask, rank, vert_cap)
-    verts = (
-        jnp.zeros((vert_cap + 1, 3), jnp.float32)
-        .at[scatter_idx].set(pos, mode="drop")[:vert_cap]
-    )
+    # positions: base lattice point + t along the edge's axis; scatter one
+    # coordinate at a time (1-D scatters, no padded layouts)
+    iota3 = [
+        jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), a) for a in range(3)
+    ]
+    vcoord = []
+    for coord in range(3):
+        buf = jnp.zeros((vert_cap + 1,), jnp.float32)
+        for a in range(3):
+            seg_mask = crosses[a].reshape(-1)
+            seg_rank = jax.lax.dynamic_slice_in_dim(rank, a * nxyz, nxyz, 0)
+            p = iota3[coord] + (ts[a] if a == coord else 0.0)
+            buf = buf.at[jnp.where(seg_mask, seg_rank, vert_cap)].set(
+                p.reshape(-1), mode="drop"
+            )
+        vcoord.append(buf[:vert_cap])
+    verts = jnp.stack(vcoord, axis=-1)
 
     # ---- cell cases + active-cell compaction ----------------------------
     cx, cy, cz = X - 1, Y - 1, Z - 1
@@ -148,36 +148,29 @@ def marching_cubes(
     face_base = jnp.cumsum(a_ntris) - a_ntris
     n_faces = jnp.sum(a_ntris)
 
-    # ---- triangle emission ----------------------------------------------
+    # ---- triangle emission (1-D per slot/corner, static 15-way unroll) ---
     ci = cell_ids // (cy * cz)
     cj = (cell_ids // cz) % cy
     ck = cell_ids % cz
     acase = jnp.take(case_flat, cell_ids, axis=0)
-    tris = jnp.take(_TRI_TABLE, acase, axis=0)  # (cell_cap, 5, 3) local edges
-
-    off = jnp.take(_EDGE_OFF, tris.reshape(-1), axis=0).reshape(
-        cell_cap, 5, 3, 4
-    )
-    gi = ci[:, None, None] + off[..., 0]
-    gj = cj[:, None, None] + off[..., 1]
-    gk = ck[:, None, None] + off[..., 2]
-    ga = off[..., 3]
-    edge_flat_idx = ((gi * Y + gj) * Z + gk) * 3 + ga  # (cell_cap, 5, 3)
-    vidx = jnp.take(rank, edge_flat_idx.reshape(-1), axis=0).reshape(
-        cell_cap, 5, 3
-    )
-
-    slot = jax.lax.broadcasted_iota(jnp.int32, (cell_cap, 5), 1)
-    valid_tri = (slot < a_ntris[:, None]) & (
-        jax.lax.broadcasted_iota(jnp.int32, (cell_cap, 5), 0)
-        < n_active
-    )
-    frank = face_base[:, None] + slot
-    fscatter = jnp.where(valid_tri, frank, face_cap).reshape(-1)
-    faces = (
-        jnp.zeros((face_cap + 1, 3), jnp.int32)
-        .at[fscatter].set(vidx.reshape(-1, 3), mode="drop")[:face_cap]
-    )
+    tri_flat = _TRI_TABLE.reshape(-1)  # (256·5·3,)
+    eoff = [_EDGE_OFF[:, c] for c in range(4)]
+    arange_cells = jnp.arange(cell_cap)
+    fcols = [jnp.zeros((face_cap + 1,), jnp.int32) for _ in range(3)]
+    for s in range(5):
+        valid_tri = (s < a_ntris) & (arange_cells < n_active)
+        frank = jnp.where(valid_tri, face_base + s, face_cap)
+        for c in range(3):
+            e_local = jnp.take(tri_flat, acase * 15 + s * 3 + c, axis=0)
+            el = jnp.maximum(e_local, 0)  # -1 padding → any safe index
+            gi = ci + jnp.take(eoff[0], el, axis=0)
+            gj = cj + jnp.take(eoff[1], el, axis=0)
+            gk = ck + jnp.take(eoff[2], el, axis=0)
+            ga = jnp.take(eoff[3], el, axis=0)
+            eid = ga * nxyz + (gi * Y + gj) * Z + gk
+            vidx = jnp.take(rank, eid, axis=0)
+            fcols[c] = fcols[c].at[frank].set(vidx, mode="drop")
+    faces = jnp.stack([col[:face_cap] for col in fcols], axis=-1)
 
     # ---- normals + values ------------------------------------------------
     grad = jnp.stack(jnp.gradient(vol), axis=-1)
