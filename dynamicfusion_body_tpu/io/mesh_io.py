@@ -12,7 +12,15 @@ import numpy as np
 
 
 def load_obj(path):
-    """Returns (vertices (V,3) f32, faces (F,3) i32 zero-based)."""
+    """Returns (vertices (V,3) f32, faces (F,3) i32 zero-based).
+
+    Uses the native C parser (native/dfio.cc) when available; Python
+    fallback below."""
+    from ..native import read_obj as _native_read
+
+    out = _native_read(str(path))
+    if out is not None:
+        return out
     verts, faces = [], []
     with open(path) as f:
         for line in f:
@@ -41,6 +49,10 @@ def save_obj(path, verts, faces, normals=None, ind=None):
     faces = np.asarray(faces, dtype=np.int64)
     if normals is not None:
         normals = np.asarray(normals, dtype=np.float64)
+    from ..native import write_obj as _native_write
+
+    if _native_write(str(path), verts, faces, normals=normals, ind=ind):
+        return
     if ind is not None:
         rot = np.asarray(ind)[:3, :3]
         trans = np.asarray(ind)[:3, 3]

@@ -14,7 +14,19 @@ import numpy as np
 
 def load_sdf(file_path, read_closest_points=False, verbose=False):
     """Returns (b_min (3,), b_max (3,), volume (rx+1,ry+1,rz+1) f32,
-    closest_points or None)."""
+    closest_points or None).
+
+    Uses the native C loader (native/dfio.cc) when available (the
+    closest-points tail is only parsed by the Python path)."""
+    if not read_closest_points:
+        from ..native import read_dist as _native_read
+
+        out = _native_read(str(file_path))
+        if out is not None:
+            b_min, b_max, volume = out
+            if verbose:
+                print("loaded volume from %s" % file_path)
+            return b_min, b_max, volume, None
     with open(file_path, "rb") as fp:
         res_x = -int(np.fromfile(fp, dtype=np.int32, count=1)[0])
         res_y = -int(np.fromfile(fp, dtype=np.int32, count=1)[0])
