@@ -97,30 +97,39 @@ def marching_cubes(
     # TPU layout note: the edge lattice is kept as 1-D axis-major arrays —
     # edge id = a·XYZ + ((i·Y + j)·Z + k). Any (…,3) trailing dim on the
     # 3·XYZ-sized arrays would pad to the (8,128) tile (42× HBM).
+    #
+    # Compaction note: TPU scatters are near-serial, so compaction is done
+    # with GATHERS — for output slot r, binary-search (searchsorted) the
+    # inclusive cumsum of the mask for the r-th set element, then gather.
     crosses, ts = zip(*(axis_cross(a) for a in range(3)))
     nxyz = X * Y * Z
 
     flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
-    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1  # rank per edge
-    n_verts = rank[-1] + 1  # total crossings (0 if none: cumsum ends at -1)
+    csum = jnp.cumsum(flat_mask.astype(jnp.int32))  # inclusive
+    rank = csum - 1  # rank per edge (valid where mask)
+    n_verts = csum[-1]
 
-    # positions: base lattice point + t along the edge's axis; scatter one
-    # coordinate at a time (1-D scatters, no padded layouts)
-    iota3 = [
-        jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), a) for a in range(3)
-    ]
-    vcoord = []
-    for coord in range(3):
-        buf = jnp.zeros((vert_cap + 1,), jnp.float32)
-        for a in range(3):
-            seg_mask = crosses[a].reshape(-1)
-            seg_rank = jax.lax.dynamic_slice_in_dim(rank, a * nxyz, nxyz, 0)
-            p = iota3[coord] + (ts[a] if a == coord else 0.0)
-            buf = buf.at[jnp.where(seg_mask, seg_rank, vert_cap)].set(
-                p.reshape(-1), mode="drop"
-            )
-        vcoord.append(buf[:vert_cap])
-    verts = jnp.stack(vcoord, axis=-1)
+    # vertex r ← edge index e(r) = first position with csum == r+1
+    vslots = jnp.arange(vert_cap, dtype=jnp.int32)
+    edge_of_vert = jnp.searchsorted(csum, vslots + 1, side="left").astype(
+        jnp.int32
+    )
+    edge_of_vert = jnp.minimum(edge_of_vert, 3 * nxyz - 1)
+    vmask0 = vslots < n_verts
+
+    ea = edge_of_vert // nxyz  # axis of each vertex's edge
+    elin = edge_of_vert % nxyz
+    ei = (elin // (Y * Z)).astype(jnp.float32)
+    ej = ((elin // Z) % Y).astype(jnp.float32)
+    ek = (elin % Z).astype(jnp.float32)
+    t_all = jnp.concatenate([t.reshape(-1) for t in ts])
+    et = jnp.take(t_all, edge_of_vert, axis=0)
+    vx = ei + jnp.where(ea == 0, et, 0.0)
+    vy = ej + jnp.where(ea == 1, et, 0.0)
+    vz = ek + jnp.where(ea == 2, et, 0.0)
+    verts = jnp.stack(
+        [jnp.where(vmask0, c, 0.0) for c in (vx, vy, vz)], axis=-1
+    )
 
     # ---- cell cases + active-cell compaction ----------------------------
     cx, cy, cz = X - 1, Y - 1, Z - 1
@@ -133,44 +142,40 @@ def marching_cubes(
         )
     case_flat = case.reshape(-1)
     ntris = jnp.take(_TRI_COUNT, case_flat, axis=0)
-    active = ntris > 0
-    arank = jnp.cumsum(active.astype(jnp.int32)) - 1
-    n_active = arank[-1] + 1
-    cell_ids = (
-        jnp.zeros((cell_cap + 1,), jnp.int32)
-        .at[jnp.where(active, arank, cell_cap)]
-        .set(jnp.arange(case_flat.shape[0], dtype=jnp.int32), mode="drop")[:cell_cap]
-    )
-    # face base rank per active cell (cumsum of ntris over compact list)
-    a_ntris = jnp.where(
-        jnp.arange(cell_cap) < n_active, jnp.take(ntris, cell_ids, axis=0), 0
-    )
-    face_base = jnp.cumsum(a_ntris) - a_ntris
-    n_faces = jnp.sum(a_ntris)
+    # cumulative triangle count over ALL cells (in cell order): face r maps
+    # straight to its cell by binary search — no intermediate compaction.
+    tsum = jnp.cumsum(ntris)  # inclusive
+    n_faces = tsum[-1]
 
-    # ---- triangle emission (1-D per slot/corner, static 15-way unroll) ---
-    ci = cell_ids // (cy * cz)
-    cj = (cell_ids // cz) % cy
-    ck = cell_ids % cz
-    acase = jnp.take(case_flat, cell_ids, axis=0)
+    # ---- triangle emission (gather-only) ----------------------------------
+    fslots = jnp.arange(face_cap, dtype=jnp.int32)
+    cell_of_face = jnp.searchsorted(tsum, fslots + 1, side="left").astype(
+        jnp.int32
+    )
+    cell_of_face = jnp.minimum(cell_of_face, case_flat.shape[0] - 1)
+    fmask0 = fslots < n_faces
+    slot = fslots - (jnp.take(tsum, cell_of_face, axis=0)
+                     - jnp.take(ntris, cell_of_face, axis=0))
+    slot = jnp.clip(slot, 0, 4)
+
+    ci = cell_of_face // (cy * cz)
+    cj = (cell_of_face // cz) % cy
+    ck = cell_of_face % cz
+    acase = jnp.take(case_flat, cell_of_face, axis=0)
     tri_flat = _TRI_TABLE.reshape(-1)  # (256·5·3,)
     eoff = [_EDGE_OFF[:, c] for c in range(4)]
-    arange_cells = jnp.arange(cell_cap)
-    fcols = [jnp.zeros((face_cap + 1,), jnp.int32) for _ in range(3)]
-    for s in range(5):
-        valid_tri = (s < a_ntris) & (arange_cells < n_active)
-        frank = jnp.where(valid_tri, face_base + s, face_cap)
-        for c in range(3):
-            e_local = jnp.take(tri_flat, acase * 15 + s * 3 + c, axis=0)
-            el = jnp.maximum(e_local, 0)  # -1 padding → any safe index
-            gi = ci + jnp.take(eoff[0], el, axis=0)
-            gj = cj + jnp.take(eoff[1], el, axis=0)
-            gk = ck + jnp.take(eoff[2], el, axis=0)
-            ga = jnp.take(eoff[3], el, axis=0)
-            eid = ga * nxyz + (gi * Y + gj) * Z + gk
-            vidx = jnp.take(rank, eid, axis=0)
-            fcols[c] = fcols[c].at[frank].set(vidx, mode="drop")
-    faces = jnp.stack([col[:face_cap] for col in fcols], axis=-1)
+    fcols = []
+    for c in range(3):
+        e_local = jnp.take(tri_flat, acase * 15 + slot * 3 + c, axis=0)
+        el = jnp.maximum(e_local, 0)  # -1 padding → any safe index
+        gi = ci + jnp.take(eoff[0], el, axis=0)
+        gj = cj + jnp.take(eoff[1], el, axis=0)
+        gk = ck + jnp.take(eoff[2], el, axis=0)
+        ga = jnp.take(eoff[3], el, axis=0)
+        eid = ga * nxyz + (gi * Y + gj) * Z + gk
+        vidx = jnp.take(rank, eid, axis=0)
+        fcols.append(jnp.where(fmask0, vidx, 0))
+    faces = jnp.stack(fcols, axis=-1)
 
     # ---- normals + values ------------------------------------------------
     grad = jnp.stack(jnp.gradient(vol), axis=-1)

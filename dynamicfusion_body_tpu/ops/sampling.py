@@ -29,26 +29,74 @@ def radius_subsample(
     points: (N,3); valid: optional (N,) bool (invalid points are never
     selected and never suppress others). Returns (indices (capacity,) int32,
     count int32). Slots >= count hold index 0 and must be masked by callers.
+
+    TPU algorithm: greedy first-fit is inherently index-sequential, but its
+    *fixpoint* form parallelizes — "committed rounds": a point commits once
+    every earlier conflicting point is committed; it commits SELECTED iff no
+    earlier committed-selected point conflicts. Each round is a blocked
+    (chunk,N)·(N,2) distance-mask matmul on the MXU; the round count equals
+    the dependency-chain depth (tens, not N). Exactly equivalent to the
+    reference's sequential loop (core/util.py:27-47) — verified against the
+    NumPy oracle in tests.
     """
     n = points.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    r2 = radius * radius
+    r2 = (radius * radius).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
 
-    def body(i, carry):
-        removed, out_idx, count = carry
-        alive = valid[i] & (~removed[i]) & (count < capacity)
-        d2 = jnp.sum((points - points[i]) ** 2, axis=-1)
-        removed = removed | (alive & (d2 < r2))
-        slot = jnp.minimum(count, capacity - 1)
-        out_idx = out_idx.at[slot].set(
-            jnp.where(alive, i, out_idx[slot]).astype(jnp.int32)
-        )
-        return removed, out_idx, count + alive.astype(jnp.int32)
+    chunk = max(128, min(2048, (1 << 26) // max(n, 1)))
+    pad = (-n) % chunk
+    npad = n + pad
+    pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
+    gidx = jnp.arange(npad, dtype=jnp.int32)
+    nchunks = npad // chunk
+    pp = jnp.sum(pts * pts, axis=-1)
 
-    removed0 = jnp.zeros((n,), dtype=bool)
-    out0 = jnp.zeros((capacity,), dtype=jnp.int32)
-    _, out_idx, count = jax.lax.fori_loop(0, n, body, (removed0, out0, jnp.int32(0)))
+    def round_fn(state):
+        committed, selected, rounds = state
+        rhs = jnp.stack(
+            [selected.astype(jnp.float32),
+             (~committed).astype(jnp.float32)], axis=1
+        )  # (npad, 2)
+
+        def chunk_fn(c):
+            q = jax.lax.dynamic_slice_in_dim(pts, c * chunk, chunk, 0)
+            qq = jnp.sum(q * q, axis=-1, keepdims=True)
+            cross = jnp.dot(q, pts.T, preferred_element_type=jnp.float32,
+                            precision=hi)
+            d2 = qq - 2.0 * cross + pp[None, :]
+            lower = gidx[None, :] < (c * chunk + jnp.arange(chunk))[:, None]
+            A = ((d2 < r2) & lower).astype(jnp.float32)
+            return jnp.dot(A, rhs, preferred_element_type=jnp.float32,
+                           precision=hi)
+
+        out = jax.lax.map(chunk_fn, jnp.arange(nchunks)).reshape(npad, 2)
+        conflict = out[:, 0] > 0.5
+        blocked = out[:, 1] > 0.5
+        new_sel = (~committed) & (~conflict) & (~blocked)
+        new_rej = (~committed) & conflict
+        selected = selected | new_sel
+        committed = committed | new_sel | new_rej
+        return committed, selected, rounds + 1
+
+    committed0 = jnp.pad(~valid, (0, pad), constant_values=True)
+    selected0 = jnp.zeros((npad,), dtype=bool)
+
+    def cond_fn(state):
+        committed, _, rounds = state
+        return (~jnp.all(committed)) & (rounds < n)
+
+    _, selected, _ = jax.lax.while_loop(
+        cond_fn, round_fn, (committed0, selected0, jnp.int32(0))
+    )
+    selected = selected[:n]
+
+    csum = jnp.cumsum(selected.astype(jnp.int32))
+    count = jnp.minimum(csum[-1], capacity)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    out_idx = jnp.searchsorted(csum, slots + 1, side="left").astype(jnp.int32)
+    out_idx = jnp.where(slots < count, jnp.minimum(out_idx, n - 1), 0)
     return out_idx, count
 
 
