@@ -1,14 +1,19 @@
 """Headline benchmark: updateTSDF + warp-field solve per frame at 256³.
 
-Mirrors the reference's profiled TEST_FUSION flow (test.py:104-138): a
-canonical SDF volume, a deformed live SDF volume, closest-point
-correspondences, then per frame ``solve`` (rigid presolve + non-rigid GN
-with correspondence refresh) and ``updateTSDF`` (DQB warp of every voxel +
-trilerp fusion) — at 256³ instead of the reference's 65³.
+Mirrors the reference's profiled TEST_FUSION flow (test.py:104-138) — a
+canonical SDF volume, a deformed live SDF volume, per frame ``solve``
+(rigid presolve + non-rigid GN rounds with correspondence refresh and the
+regularization relaxation schedule) and ``updateTSDF`` (DQB warp of every
+voxel + trilerp fusion) — at 256³ instead of the reference's 65³, plus the
+per-frame graph update, correspondence setup, and surface extraction the
+reference performed around the profiled region.
 
-Baseline (BASELINE.md): the reference prototype needs ≈ 380 s (best case,
-solve 74.1 s + updateTSDF 306 s... best combined frame ≈ 380 s) per frame
-at 65³ = 1/64 the voxels on a lab CPU. vs_baseline reported here is the
+The frame runs as ONE fused device program (pipeline/frame.py): a single
+dispatch + one stats fetch per frame, so the timing measures device work,
+not driver round-trips.
+
+Baseline (BASELINE.md): the reference prototype's best combined frame is
+~380 s at 65³ (1/64 the voxels) on a lab CPU. vs_baseline here is the
 UNSCALED conservative speedup: reference_best_ms_at_65³ / ours_ms_at_256³.
 
 Prints exactly one JSON line:
@@ -17,23 +22,14 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-
 RES = 256
-REFERENCE_BEST_COMBINED_MS = 380_100.0  # best frame at 65^3 (BASELINE.md)
-
-
-def sphere_sdf(res, center, radius):
-    g = np.arange(res, dtype=np.float32)
-    x, y, z = np.meshgrid(g, g, g, indexing="ij")
-    return (
-        np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2 + (z - center[2]) ** 2)
-        - radius
-    ).astype(np.float32)
+REFERENCE_BEST_COMBINED_MS = 380_100.0  # best frame at 65³ (BASELINE.md)
 
 
 def bumpy_sdf(res, center, radius, amp, freq, phase=0.0):
@@ -49,51 +45,68 @@ def bumpy_sdf(res, center, radius, amp, freq, phase=0.0):
 
 
 def main():
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
 
-    from dynamicfusion_body_tpu import Fusion
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.pipeline.frame import fusion_frame, init_canonical
 
     t_setup = time.time()
     canonical = bumpy_sdf(RES, (128, 128, 128), 70.0, 4.0, 3.0, 0.0)
-    live = bumpy_sdf(RES, (130, 129, 128), 70.0, 4.0, 3.0, 0.35)
+    lives = [
+        jnp.asarray(bumpy_sdf(RES, (130, 129, 128), 70.0, 4.0, 3.0, 0.10 * i))
+        for i in range(1, 4)
+    ]
+    tdist = float(canonical.max())
+    values = jnp.asarray(canonical)
+    weights = jnp.zeros_like(values)
 
-    fus = Fusion(
-        canonical,
-        float(canonical.max()),
-        subsample_rate=1.5,
-        knn=3,
-        marching_cubes_step_size=2,
-        vert_cap=1 << 17,
-        face_cap=1 << 18,
-        node_cap=4096,
-        write_warpfield=False,
+    caps = dict(vert_cap=1 << 17, face_cap=1 << 18)
+    wf, radius = init_canonical(
+        values, subsample_rate=1.5, node_cap=4096, mc_step=2, **caps
     )
-    n_nodes = int(fus._warp.num_active)
+    n_nodes = int(wf.num_active)
     print(
-        f"# setup {time.time()-t_setup:.1f}s: mesh verts="
-        f"{int(fus._mesh['n_verts'])} nodes={n_nodes} backend={jax.default_backend()}",
+        f"# setup {time.time()-t_setup:.1f}s nodes={n_nodes} "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
 
-    def frame():
-        fus.setupCorrespondences(live, method="clpts")
-        fus.solve(regularization_weight=0.5, method="clpts")
-        fus.updateTSDF()
+    lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], jnp.float32)
+    hyper = dict(
+        regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
+        solve_iters=3, gn_iters=8, cg_iters=32, tolerance=0.2,
+        n_candidates=16, **caps,
+    )
+
+    def frame(values, weights, wf, lw, live):
+        return fusion_frame(values, weights, live, wf, lw, **hyper)
 
     # warmup (compile)
     t0 = time.time()
-    frame()
-    print(f"# warmup frame {time.time()-t0:.1f}s", file=sys.stderr)
+    v, w, wf_w, lw_w, stats = frame(values, weights, wf, lw, lives[0])
+    _ = float(stats.cost_after[-1])  # force completion
+    print(
+        f"# warmup frame {time.time()-t0:.1f}s corr={int(stats.n_corr)} "
+        f"nodes={int(stats.n_nodes)} verts={int(stats.n_verts)}",
+        file=sys.stderr,
+    )
 
-    # steady state
+    # steady state: chained frames, one fetch per frame
     times = []
-    for _ in range(3):
+    for live in lives:
         t0 = time.time()
-        frame()
-        jax.block_until_ready(fus.volume.values)
+        values, weights, wf, lw, stats = frame(values, weights, wf, lw, live)
+        _ = float(stats.cost_after[-1])
         times.append(time.time() - t0)
     ms = float(np.median(times) * 1000.0)
-    print(f"# steady frames (ms): {[round(t*1000,1) for t in times]}", file=sys.stderr)
+    print(
+        f"# steady frames (ms): {[round(t*1000,1) for t in times]}",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

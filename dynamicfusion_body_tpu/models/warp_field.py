@@ -22,6 +22,8 @@ a few node radii, so a modest candidate set reproduces exact kNN.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -58,6 +60,7 @@ class WarpField:
         return jnp.sum(self.active.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("capacity",))
 def construct_graph(
     verts: jax.Array,
     radius: jax.Array,
@@ -84,12 +87,14 @@ def construct_graph(
     )
 
 
+@partial(jax.jit, static_argnames=("k",))
 def neighbor_lookup(wf: WarpField, verts: jax.Array, k: int) -> jax.Array:
     """Per-vertex kNN node table (V,k) — reference core/fusion.py:119-123."""
     _, idx = knn(verts, wf.node_pos, k, valid=wf.active)
     return idx
 
 
+@jax.jit
 def blend_at(
     wf: WarpField, pos: jax.Array, nbr_idx: jax.Array
 ) -> jax.Array:
@@ -102,6 +107,7 @@ def blend_at(
     return dq_blend(pos, npos, ndq, nw, mask=act)
 
 
+@jax.jit
 def warp_points(
     wf: WarpField,
     pos: jax.Array,
@@ -164,6 +170,10 @@ def _voxel_knn_from_candidates(pos, cand_idx, wf: WarpField, k: int):
     return sel, jnp.sqrt(d2k)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "tdist", "wmax", "brick", "n_candidates"),
+)
 def update_tsdf_nonrigid(
     values: jax.Array,
     weights: jax.Array,
@@ -324,6 +334,7 @@ def _trilinear_c(volume, px, py, pz):
     return c0 * (1 - zd) + c1 * zd, valid
 
 
+@partial(jax.jit, static_argnames=("k",))
 def update_graph(
     wf: WarpField,
     verts: jax.Array,

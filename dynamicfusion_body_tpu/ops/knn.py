@@ -13,6 +13,8 @@ points; we subtract a tiny index-proportional epsilon before top_k to match.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +28,11 @@ def pairwise_sqdist(q: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.maximum(qq - 2.0 * cross + pp[None, :], 0.0)
 
 
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn_jit(queries, points, k, valid, chunk):
+    return _knn_impl(queries, points, k, valid, chunk)
+
+
 def knn(
     queries: jax.Array,
     points: jax.Array,
@@ -33,6 +40,13 @@ def knn(
     valid: jax.Array | None = None,
     chunk: int | None = None,
 ):
+    nq, npts = queries.shape[0], points.shape[0]
+    if chunk is None:
+        chunk = max(256, min(8192, (1 << 27) // max(npts, 1)))
+    return _knn_jit(queries, points, min(k, npts), valid, chunk)
+
+
+def _knn_impl(queries, points, k, valid, chunk):
     """Exact k-NN: returns (dists (Q,k), idx (Q,k) int32), ascending.
 
     ``valid`` masks out pool slots (distance +inf). Queries are processed in

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from . import mc_tables
 from .interp import trilinear
 
@@ -48,6 +50,10 @@ for _e in range(12):
 _EDGE_OFF = jnp.asarray(_EDGE_OFF)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("vert_cap", "face_cap", "cell_cap", "step_size"),
+)
 def marching_cubes(
     vol: jax.Array,
     level: float = 0.0,

@@ -14,10 +14,13 @@ node insertion only).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("capacity",))
 def radius_subsample(
     points: jax.Array,
     radius: jax.Array,
@@ -100,6 +103,7 @@ def radius_subsample(
     return out_idx, count
 
 
+@partial(jax.jit, static_argnames=("n_samples", "start_idx"))
 def furthest_point_sample(points: jax.Array, n_samples: int, start_idx: int = 0):
     """Deterministic FPS: iteratively pick the point furthest from the set.
 

@@ -13,12 +13,15 @@ The learned (CNN feature) path lives in models/dhbc.py + pipeline/fusion.py
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.knn import knn
 
 
+@partial(jax.jit, static_argnames=("k", "tolerance"))
 def closest_point_correspondences(
     warped_verts: jax.Array,   # (V,3) canonical verts warped into live frame
     warped_normals: jax.Array, # (V,3)
@@ -51,6 +54,7 @@ def closest_point_correspondences(
     return best_pt, valid, best_cost
 
 
+@jax.jit
 def feature_correspondences(
     canon_feats: jax.Array,  # (V,F) per-canonical-vertex descriptors
     vert_mask: jax.Array,    # (V,)
@@ -68,6 +72,7 @@ def feature_correspondences(
     return corr, valid
 
 
+@partial(jax.jit, static_argnames=("tolerance",))
 def prune_by_plane_cost(
     warped_verts, warped_normals, corrs, valid, tolerance: float
 ):

@@ -23,6 +23,8 @@ huber weights (f_scale=1), matching ``loss='huber'``.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -84,6 +86,7 @@ def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
     return 0.5 * (jnp.sum(rho(r_d**2)) + jnp.sum(rho(r_r**2)))
 
 
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "damping"))
 def solve_nonrigid(
     node_dq,
     verts,

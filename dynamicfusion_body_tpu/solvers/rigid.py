@@ -10,6 +10,8 @@ system instead of 2-point finite differences.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,7 @@ def p2s_residuals(lw_dq, pts, normals, corrs, mask):
     return jnp.where(mask, r, 0.0)
 
 
+@partial(jax.jit, static_argnames=("iterations", "damping"))
 def solve_rigid(
     lw_dq: jax.Array,
     pts: jax.Array,

@@ -1,0 +1,75 @@
+"""Fused per-frame program: equivalence with the known-motion solvers and
+driver-level behavior, at small scale."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynamicfusion_body_tpu.pipeline.frame import fusion_frame, init_canonical
+from fixtures import sphere_levelset
+
+
+def test_fusion_frame_tracks_motion():
+    res = 32
+    canonical = sphere_levelset(res, (16, 16, 16), 9.0)
+    live = sphere_levelset(res, (17.2, 16.4, 16), 9.0)
+    tdist = float(canonical.max())
+    caps = dict(vert_cap=4096, face_cap=8192)
+
+    wf, radius = init_canonical(
+        jnp.asarray(canonical), subsample_rate=2.0, node_cap=128, mc_step=1,
+        **caps,
+    )
+    assert int(wf.num_active) > 3
+    lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+
+    v, w, wf2, lw2, stats = fusion_frame(
+        jnp.asarray(canonical), jnp.zeros((res,) * 3), jnp.asarray(live),
+        wf, lw, regularization_weight=1.0, knn_k=3, tdist=tdist, mc_step=1,
+        solve_iters=2, gn_iters=6, cg_iters=24, tolerance=2.0,
+        brick=8, n_candidates=16, **caps,
+    )
+    cb = np.asarray(stats.cost_before)
+    ca = np.asarray(stats.cost_after)
+    assert ca[0] < 0.5 * cb[0]  # first GN round substantially reduced energy
+    assert int(stats.n_corr) > 50
+    assert float(w.max()) > 0  # fusion happened
+    # DynamicFusion invariant: a good warp absorbs the motion, so the
+    # CANONICAL surface stays put after fusing the moved live frame
+    # (an identity warp would drag the zero crossing ~1 voxel right).
+    line0 = canonical[:, 16, 16]
+    line1 = np.asarray(v)[:, 16, 16]
+    zc0 = np.interp(0.0, line0[16:28], np.arange(16, 28))
+    zc1 = np.interp(0.0, line1[16:28], np.arange(16, 28))
+    assert abs(zc1 - zc0) < 0.3, (zc0, zc1)
+    # and the recovered warp maps canonical surface points onto the live
+    # surface: r(x) = |x_warped - live_center| - 9 ≈ 0
+    from dynamicfusion_body_tpu.ops.dualquat import dq_transform_point
+    from dynamicfusion_body_tpu.models.warp_field import blend_at
+    from dynamicfusion_body_tpu.ops.knn import knn
+
+    p = jnp.array([[25.0, 16.0, 16.0]])
+    _, nidx = knn(p, wf2.node_pos, 3, valid=wf2.active)
+    se3 = blend_at(wf2, p, nidx)
+    wp = dq_transform_point(lw2, dq_transform_point(se3, p))
+    sd = float(jnp.linalg.norm(wp[0] - jnp.array([17.2, 16.4, 16.0])) - 9.0)
+    assert abs(sd) < 0.35, sd
+
+
+def test_fusion_frame_no_graph_update():
+    res = 24
+    canonical = sphere_levelset(res, (12, 12, 12), 7.0)
+    caps = dict(vert_cap=2048, face_cap=4096)
+    wf, _ = init_canonical(
+        jnp.asarray(canonical), subsample_rate=2.0, node_cap=64, mc_step=1,
+        **caps,
+    )
+    lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    v, w, wf2, lw2, stats = fusion_frame(
+        jnp.asarray(canonical), jnp.zeros((res,) * 3),
+        jnp.asarray(canonical), wf, lw, regularization_weight=1.0,
+        knn_k=3, tdist=float(canonical.max()), mc_step=1, solve_iters=1,
+        gn_iters=2, cg_iters=8, tolerance=2.0, brick=8, n_candidates=16,
+        update_graph=False, **caps,
+    )
+    # identical live frame + identity-ish pose: node count unchanged
+    assert int(wf2.num_active) == int(wf.num_active)
