@@ -64,7 +64,10 @@ def main():
     values = jnp.asarray(canonical)
     weights = jnp.zeros_like(values)
 
-    caps = dict(vert_cap=1 << 17, face_cap=1 << 18)
+    # canonical mesh (step 2) is ~24k verts — keep its cap snug; the live
+    # step-1 mesh (~94k verts) gets its own larger cap.
+    caps = dict(vert_cap=1 << 15, face_cap=1 << 16)
+    live_caps = dict(live_vert_cap=1 << 17, live_face_cap=1 << 18)
     wf, radius = init_canonical(
         values, subsample_rate=1.5, node_cap=4096, mc_step=2, **caps
     )
@@ -79,7 +82,7 @@ def main():
     hyper = dict(
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
         solve_iters=3, gn_iters=8, cg_iters=32, tolerance=0.2,
-        n_candidates=16, **caps,
+        n_candidates=16, **caps, **live_caps,
     )
 
     def frame(values, weights, wf, lw, live):

@@ -199,91 +199,104 @@ def update_tsdf_nonrigid(
     arrays (structure-of-arrays) — (N,3)/(N,C,3) shapes would pad their
     minor dims to the (8,128) tile and blow HBM 42× at 256³.
     """
-    from ..ops.compwise import (
-        dq_normal_c,
-        dq_normalize8_c,
-        dq_point_c,
-    )
+    from ..ops.compwise import dq_normalize8_c, dq_point_c
 
     rx, ry, rz = values.shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
     C = n_candidates
-    cand_cols = [
-        c[0] for c in jnp.split(
-            brick_candidates(wf, values.shape, brick, C, x_offset=x_offset).T,
-            C, axis=0,
-        )
-    ]  # C arrays of (NB,)
+    V = brick * brick * brick
+    nbs = nby * nbz  # bricks per x-slab
+    cand = brick_candidates(wf, values.shape, brick, C, x_offset=x_offset)
     f32 = jnp.float32
     big = jnp.float32(3.4e38)
-
-    node_x, node_y, node_z = (wf.node_pos[:, a] for a in range(3))
-    dq_cols = tuple(wf.node_dq[:, c] for c in range(8))
+    hi = jax.lax.Precision.HIGHEST
     lw = tuple(lw_dq[c] for c in range(8))
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 1)
-    zz = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 2)
-    xx0 = jax.lax.broadcasted_iota(jnp.int32, (brick, ry, rz), 0)
+    # within-brick voxel offsets, V-order = (ox, oy, oz)
+    ox = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 0).reshape(-1)
+    oy = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 1).reshape(-1)
+    oz = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 2).reshape(-1)
+    # brick origins within a slab: (nbs,)
+    by0 = (
+        jax.lax.broadcasted_iota(f32, (nby, nbz), 0).reshape(-1) * brick
+    )
+    bz0 = (
+        jax.lax.broadcasted_iota(f32, (nby, nbz), 1).reshape(-1) * brick
+    )
+
+    def to_bricks(slab3):
+        """(brick, ry, rz) → (nbs, V) in ((by,bz),(ox,oy,oz)) order."""
+        t = slab3.reshape(brick, nby, brick, nbz, brick)
+        return t.transpose(1, 3, 0, 2, 4).reshape(nbs, V)
+
+    def from_bricks(b2):
+        t = b2.reshape(nby, nbz, brick, brick, brick)
+        return t.transpose(2, 0, 3, 1, 4).reshape(brick, ry, rz)
 
     def slab(s):
-        px = ((xx0 + s * brick).astype(f32) + x_offset).reshape(-1)
-        py = yy.astype(f32).reshape(-1)
-        pz = zz.astype(f32).reshape(-1)
-        bid = ((s * nby + yy // brick) * nbz + zz // brick).reshape(-1)  # (N,)
+        # ---- brick-level gathers (small: nbs·C) -------------------------
+        cidx = jax.lax.dynamic_slice_in_dim(cand, s * nbs, nbs, 0)  # (nbs, C)
+        cflat = cidx.reshape(-1)
+        ncx = jnp.take(wf.node_pos[:, 0], cflat, axis=0).reshape(nbs, C)
+        ncy = jnp.take(wf.node_pos[:, 1], cflat, axis=0).reshape(nbs, C)
+        ncz = jnp.take(wf.node_pos[:, 2], cflat, axis=0).reshape(nbs, C)
+        ncw = jnp.take(wf.node_w, cflat, axis=0).reshape(nbs, C)
+        nact = jnp.take(wf.active, cflat, axis=0).reshape(nbs, C)
+        ndq = jnp.take(wf.node_dq, cflat, axis=0).reshape(nbs, C, 8)
 
-        # per-candidate node index + squared distance, as C 1-D arrays
-        cidx = [jnp.take(col, bid, axis=0) for col in cand_cols]
-        d2 = []
-        for ci in cidx:
-            dx = px - jnp.take(node_x, ci, axis=0)
-            dy = py - jnp.take(node_y, ci, axis=0)
-            dz = pz - jnp.take(node_z, ci, axis=0)
-            act = jnp.take(wf.active, ci, axis=0)
-            d2.append(jnp.where(act, dx * dx + dy * dy + dz * dz, big))
+        # ---- voxel positions broadcast per brick: (nbs, 1|C, V) ---------
+        pxv = (s * brick + x_offset) + ox[None, :]          # (1←nbs, V)
+        pxv = jnp.broadcast_to(pxv, (nbs, V))
+        pyv = by0[:, None] + oy[None, :]
+        pzv = bz0[:, None] + oz[None, :]
 
-        # exact top-k among the C candidates: k argmin passes (first-min
-        # tie-break = lowest candidate rank, matching KDTree ordering)
-        sel_idx, sel_d = [], []
+        dx = pxv[:, None, :] - ncx[:, :, None]
+        dy = pyv[:, None, :] - ncy[:, :, None]
+        dz = pzv[:, None, :] - ncz[:, :, None]
+        d2 = dx * dx + dy * dy + dz * dz                    # (nbs, C, V)
+        d2 = jnp.where(nact[:, :, None], d2, big)
+
+        # ---- exact top-k among C: k argmin passes (first-min tie-break
+        # = lowest candidate rank, matching KDTree ordering) --------------
+        wsel = jnp.zeros((nbs, C, V), f32)  # Gaussian blend weight if selected
+        wi_sum = jnp.zeros((nbs, V), f32)
+        wi_cnt = jnp.zeros((nbs, V), f32)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (nbs, C, V), 1)
         for _ in range(k):
-            best_d = d2[0]
-            best_c = jnp.zeros_like(bid)
-            for c in range(1, C):
-                upd = d2[c] < best_d
-                best_d = jnp.where(upd, d2[c], best_d)
-                best_c = jnp.where(upd, c, best_c)
-            sel = cidx[0]
-            for c in range(1, C):
-                sel = jnp.where(best_c == c, cidx[c], sel)
-            sel_idx.append(sel)
-            sel_d.append(jnp.sqrt(jnp.minimum(best_d, big)))
-            d2 = [
-                jnp.where(best_c == c, big, d2[c]) for c in range(C)
-            ]
-
-        # DQB blend over the k selected nodes (componentwise accumulate)
-        acc = [jnp.zeros_like(px) for _ in range(8)]
-        wi_sum = jnp.zeros_like(px)
-        wi_cnt = jnp.zeros_like(px)
-        for kk in range(k):
-            sel = sel_idx[kk]
-            act = jnp.take(wf.active, sel, axis=0)
-            nwk = jnp.take(wf.node_w, sel, axis=0)
-            dk = sel_d[kk]
-            w = jnp.where(act, jnp.exp(-((dk / (2.0 * nwk)) ** 2)), 0.0)
-            for c in range(8):
-                acc[c] = acc[c] + w * jnp.take(dq_cols[c], sel, axis=0)
-            finite = act & (dk < 1e18)
+            bc = jnp.argmin(d2, axis=1)                     # (nbs, V)
+            chosen = iota_c == bc[:, None, :]               # (nbs, C, V)
+            best_d2 = jnp.min(d2, axis=1)
+            dk = jnp.sqrt(jnp.minimum(best_d2, big))
+            w_node = jnp.sum(
+                jnp.where(chosen, ncw[:, :, None], 0.0), axis=1
+            )
+            a_node = jnp.any(chosen & nact[:, :, None], axis=1)
+            finite = a_node & (best_d2 < 1e18)
+            wk = jnp.where(
+                finite, jnp.exp(-((dk / (2.0 * w_node)) ** 2)), 0.0
+            )
+            wsel = wsel + chosen * wk[:, None, :]
             wi_sum = wi_sum + jnp.where(finite, dk, 0.0)
             wi_cnt = wi_cnt + finite.astype(f32)
+            d2 = jnp.where(chosen, big, d2)
 
-        se3 = dq_normalize8_c(tuple(acc))
-        wx, wy, wz = dq_point_c(se3, (px, py, pz))
+        # ---- DQB blend: batched (nbs)×(8×C)·(C×V) matmul on the MXU -----
+        acc = jnp.einsum("bce,bcv->bev", ndq, wsel, precision=hi)  # (nbs,8,V)
+        se3 = dq_normalize8_c(tuple(acc[:, e, :] for e in range(8)))
+        wx, wy, wz = dq_point_c(se3, (pxv, pyv, pzv))
         wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
 
-        tsdf_l, valid = _trilinear_c(live, wx, wy, wz)
+        tsdf_l, valid = _trilinear_c(live, wx.reshape(-1), wy.reshape(-1),
+                                     wz.reshape(-1))
+        tsdf_l = tsdf_l.reshape(nbs, V)
+        valid = valid.reshape(nbs, V)
 
-        vals = jax.lax.dynamic_slice_in_dim(values, s * brick, brick, 0).reshape(-1)
-        wts = jax.lax.dynamic_slice_in_dim(weights, s * brick, brick, 0).reshape(-1)
+        vals = to_bricks(
+            jax.lax.dynamic_slice_in_dim(values, s * brick, brick, 0)
+        )
+        wts = to_bricks(
+            jax.lax.dynamic_slice_in_dim(weights, s * brick, brick, 0)
+        )
 
         wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
         wi_t = jnp.where(wts == 0.0, wi, wts)
@@ -291,8 +304,8 @@ def update_tsdf_nonrigid(
         denom = jnp.maximum(wi + wi_t, 1e-30)
         new_vals = (vals * wi_t + jnp.minimum(tdist, tsdf_l) * wi) / denom
         new_wts = jnp.minimum(wi + wi_t, wmax)
-        out_v = jnp.where(upd, new_vals, vals).reshape(brick, ry, rz)
-        out_w = jnp.where(upd, new_wts, wts).reshape(brick, ry, rz)
+        out_v = from_bricks(jnp.where(upd, new_vals, vals))
+        out_w = from_bricks(jnp.where(upd, new_wts, wts))
         return out_v, out_w
 
     out_v, out_w = jax.lax.map(slab, jnp.arange(nbx))

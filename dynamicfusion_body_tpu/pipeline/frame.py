@@ -91,9 +91,9 @@ def init_canonical(
 @partial(
     jax.jit,
     static_argnames=(
-        "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "mc_step",
-        "solve_iters", "gn_iters", "cg_iters", "tolerance", "brick",
-        "n_candidates", "update_graph",
+        "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
+        "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
+        "tolerance", "brick", "n_candidates", "update_graph",
     ),
 )
 def fusion_frame(
@@ -108,6 +108,8 @@ def fusion_frame(
     wmax: float = 100.0,
     vert_cap: int = 1 << 16,
     face_cap: int = 1 << 17,
+    live_vert_cap: int | None = None,
+    live_face_cap: int | None = None,
     mc_step: int = 3,
     solve_iters: int = 3,
     gn_iters: int = 8,
@@ -118,7 +120,15 @@ def fusion_frame(
     update_graph: bool = True,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
-    FrameStats). ``solve_iters`` = the reference's clpts iteration count."""
+    FrameStats). ``solve_iters`` = the reference's clpts iteration count.
+
+    ``vert_cap`` sizes the canonical mesh (extracted at ``mc_step``);
+    ``live_vert_cap`` sizes the step-1 live mesh (defaults to vert_cap) —
+    keep the canonical cap snug, every solver array scales with it."""
+    if live_vert_cap is None:
+        live_vert_cap = vert_cap
+    if live_face_cap is None:
+        live_face_cap = face_cap
     # canonical mesh (the reference reuses the mesh from the last
     # update_graph — identical volume ⇒ identical mesh)
     mesh, vmask = _canonical_mesh(values, vert_cap, face_cap, mc_step)
@@ -126,9 +136,10 @@ def fusion_frame(
     blend_wts = _blend_weights(wf, mesh["verts"], nbr_idx)
 
     live_mesh = marching_cubes(
-        live, level=0.0, vert_cap=vert_cap, face_cap=face_cap, step_size=1
+        live, level=0.0, vert_cap=live_vert_cap, face_cap=live_face_cap,
+        step_size=1,
     )
-    lmask = jnp.arange(vert_cap) < live_mesh["n_verts"]
+    lmask = jnp.arange(live_vert_cap) < live_mesh["n_verts"]
 
     def correspondences(wf_, lw_):
         wv, wn = WF.warp_points(
