@@ -79,10 +79,17 @@ def main():
     )
 
     lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], jnp.float32)
+    from dynamicfusion_body_tpu.ops.trilerp_pallas import (
+        trilerp_bricks_supported,
+    )
+
     hyper = dict(
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
         solve_iters=3, gn_iters=8, cg_iters=32, tolerance=0.2,
-        n_candidates=16, **caps, **live_caps,
+        n_candidates=16,
+        use_pallas=(jax.default_backend() == "tpu"
+                    and trilerp_bricks_supported((RES,) * 3, 8)),
+        **caps, **live_caps,
     )
 
     def frame(values, weights, wf, lw, live):

@@ -172,7 +172,9 @@ def _voxel_knn_from_candidates(pos, cand_idx, wf: WarpField, k: int):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "tdist", "wmax", "brick", "n_candidates"),
+    static_argnames=(
+        "k", "tdist", "wmax", "brick", "n_candidates", "use_pallas"
+    ),
 )
 def update_tsdf_nonrigid(
     values: jax.Array,
@@ -186,6 +188,7 @@ def update_tsdf_nonrigid(
     brick: int = 8,
     n_candidates: int = 8,
     x_offset=0,
+    use_pallas: bool = False,
 ):
     """Non-rigid canonical TSDF fusion — the reference's hottest loop
     (core/fusion.py:153-198) as a fused, brick-chunked device computation.
@@ -223,15 +226,6 @@ def update_tsdf_nonrigid(
     bz0 = (
         jax.lax.broadcasted_iota(f32, (nby, nbz), 1).reshape(-1) * brick
     )
-
-    def to_bricks(slab3):
-        """(brick, ry, rz) → (nbs, V) in ((by,bz),(ox,oy,oz)) order."""
-        t = slab3.reshape(brick, nby, brick, nbz, brick)
-        return t.transpose(1, 3, 0, 2, 4).reshape(nbs, V)
-
-    def from_bricks(b2):
-        t = b2.reshape(nby, nbz, brick, brick, brick)
-        return t.transpose(2, 0, 3, 1, 4).reshape(brick, ry, rz)
 
     def slab(s):
         # ---- brick-level gathers (small: nbs·C) -------------------------
@@ -285,31 +279,49 @@ def update_tsdf_nonrigid(
         se3 = dq_normalize8_c(tuple(acc[:, e, :] for e in range(8)))
         wx, wy, wz = dq_point_c(se3, (pxv, pyv, pzv))
         wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
-
-        tsdf_l, valid = _trilinear_c(live, wx.reshape(-1), wy.reshape(-1),
-                                     wz.reshape(-1))
-        tsdf_l = tsdf_l.reshape(nbs, V)
-        valid = valid.reshape(nbs, V)
-
-        vals = to_bricks(
-            jax.lax.dynamic_slice_in_dim(values, s * brick, brick, 0)
-        )
-        wts = to_bricks(
-            jax.lax.dynamic_slice_in_dim(weights, s * brick, brick, 0)
-        )
-
         wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
-        wi_t = jnp.where(wts == 0.0, wi, wts)
-        upd = valid & (tsdf_l > -tdist)
-        denom = jnp.maximum(wi + wi_t, 1e-30)
-        new_vals = (vals * wi_t + jnp.minimum(tdist, tsdf_l) * wi) / denom
-        new_wts = jnp.minimum(wi + wi_t, wmax)
-        out_v = from_bricks(jnp.where(upd, new_vals, vals))
-        out_w = from_bricks(jnp.where(upd, new_wts, wts))
-        return out_v, out_w
+        return wx, wy, wz, wi
 
-    out_v, out_w = jax.lax.map(slab, jnp.arange(nbx))
-    return out_v.reshape(rx, ry, rz), out_w.reshape(rx, ry, rz)
+    # warp every voxel (brick-major), then sample the live volume — with
+    # the Pallas brick-trilerp kernel on TPU (ops/trilerp_pallas.py), or
+    # the XLA gather path elsewhere — then apply the running average in
+    # one vectorized pass over the whole (NB, V) brick layout.
+    wxs, wys, wzs, wis = jax.lax.map(slab, jnp.arange(nbx))
+    NB = nbx * nbs
+    wx = wxs.reshape(NB, V)
+    wy = wys.reshape(NB, V)
+    wz = wzs.reshape(NB, V)
+    wi = wis.reshape(NB, V)
+
+    if use_pallas:
+        from ..ops.trilerp_pallas import trilerp_bricks
+
+        tsdf_l, valid = trilerp_bricks(live, wx, wy, wz)
+    else:
+        tsdf_l, valid = _trilinear_c(
+            live, wx.reshape(-1), wy.reshape(-1), wz.reshape(-1)
+        )
+        tsdf_l = tsdf_l.reshape(NB, V)
+        valid = valid.reshape(NB, V)
+
+    def vol_to_bricks(vol3):
+        t = vol3.reshape(nbx, brick, nby, brick, nbz, brick)
+        return t.transpose(0, 2, 4, 1, 3, 5).reshape(NB, V)
+
+    def vol_from_bricks(b2):
+        t = b2.reshape(nbx, nby, nbz, brick, brick, brick)
+        return t.transpose(0, 3, 1, 4, 2, 5).reshape(rx, ry, rz)
+
+    vals = vol_to_bricks(values)
+    wts = vol_to_bricks(weights)
+    wi_t = jnp.where(wts == 0.0, wi, wts)
+    upd = valid & (tsdf_l > -tdist)
+    denom = jnp.maximum(wi + wi_t, 1e-30)
+    new_vals = (vals * wi_t + jnp.minimum(tdist, tsdf_l) * wi) / denom
+    new_wts = jnp.minimum(wi + wi_t, wmax)
+    out_v = vol_from_bricks(jnp.where(upd, new_vals, vals))
+    out_w = vol_from_bricks(jnp.where(upd, new_wts, wts))
+    return out_v, out_w
 
 
 def _trilinear_c(volume, px, py, pz):

@@ -93,7 +93,7 @@ def init_canonical(
     static_argnames=(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
-        "tolerance", "brick", "n_candidates", "update_graph",
+        "tolerance", "brick", "n_candidates", "update_graph", "use_pallas",
     ),
 )
 def fusion_frame(
@@ -118,6 +118,7 @@ def fusion_frame(
     brick: int = 8,
     n_candidates: int = 16,
     update_graph: bool = True,
+    use_pallas: bool = False,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
     FrameStats). ``solve_iters`` = the reference's clpts iteration count.
@@ -196,7 +197,7 @@ def fusion_frame(
     # --- non-rigid canonical fusion (153-198)
     values, weights = WF.update_tsdf_nonrigid(
         values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist, wmax=wmax,
-        brick=brick, n_candidates=n_candidates,
+        brick=brick, n_candidates=n_candidates, use_pallas=use_pallas,
     )
 
     # --- deformation-graph maintenance (201-239)

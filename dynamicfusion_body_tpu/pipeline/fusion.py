@@ -554,10 +554,15 @@ class Fusion:
         brick = 8 if res % 8 == 0 else (4 if res % 4 == 0 else 1)
         vals, r0 = _pad_to_multiple(self.volume.values, brick, self._tdist)
         wts, _ = _pad_to_multiple(self.volume.weights, brick, 0.0)
+        from ..ops.trilerp_pallas import trilerp_bricks_supported
+
+        use_pallas = jax.default_backend() == "tpu" and trilerp_bricks_supported(
+            self._curr_tsdf.shape, brick
+        )
         v, w = WF.update_tsdf_nonrigid(
             vals, wts, self._curr_tsdf, self._warp, self._lw,
             k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
-            n_candidates=min(16, self._node_cap),
+            n_candidates=min(16, self._node_cap), use_pallas=use_pallas,
         )
         self.volume = self.volume.replace(
             values=v[:r0, :r0, :r0], weights=w[:r0, :r0, :r0]
