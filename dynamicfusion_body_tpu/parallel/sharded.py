@@ -25,6 +25,7 @@ from ..models.warp_field import WarpField, update_tsdf_nonrigid
 from ..ops.losses import huber_irls_weight
 from ..solvers.nonrigid import (
     data_residual_one,
+    make_sorted_reducer,
     reg_residual_one,
 )
 from .mesh import VOXEL_AXIS
@@ -169,6 +170,10 @@ def solve_nonrigid_sharded(
             e_r = jnp.sum(jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, 1.0)) - 1.0))
             return 0.5 * (e_d + e_r)
 
+        red_nbr = make_sorted_reducer(nbr_idx.reshape(-1), M)
+        red_pi = make_sorted_reducer(pair_i, M)
+        red_pj = make_sorted_reducer(pair_j, M)
+
         def gn_step(x, _):
             dqs_v = jnp.take(x, nbr_idx, axis=0)
             r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
@@ -186,19 +191,16 @@ def solve_nonrigid_sharded(
             J_rj = jnp.where(pair_mask[:, None, None], J_rj, 0.0)
             w_r = huber_irls_weight(r_r) * pair_mask[:, None]
 
-            nbr_flat = nbr_idx.reshape(-1)
-
-            def scatter_nodes(contrib_flat):
-                return jax.ops.segment_sum(contrib_flat, nbr_flat, num_segments=M)
+            scatter_nodes = red_nbr
 
             g_d = jax.lax.psum(
                 scatter_nodes((J_d * (w_d * r_d)[:, None, None]).reshape(-1, 8)),
                 VOXEL_AXIS,
             )
-            g_r = jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r), pair_i, num_segments=M
-            ) + jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r), pair_j, num_segments=M
+            g_r = red_pi(
+                jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r)
+            ) + red_pj(
+                jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r)
             )
             rhs = -(g_d + g_r)
 
@@ -206,10 +208,10 @@ def solve_nonrigid_sharded(
                 scatter_nodes((w_d[:, None, None] * J_d**2).reshape(-1, 8)),
                 VOXEL_AXIS,
             )
-            diag = diag + jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_ri**2, w_r), pair_i, num_segments=M
-            ) + jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_rj**2, w_r), pair_j, num_segments=M
+            diag = diag + red_pi(
+                jnp.einsum("pcd,pc->pd", J_ri**2, w_r)
+            ) + red_pj(
+                jnp.einsum("pcd,pc->pd", J_rj**2, w_r)
             )
             lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
             diag_lm = diag + lam
@@ -225,12 +227,10 @@ def solve_nonrigid_sharded(
                 )
                 Jp_r = jnp.einsum("pcd,pd->pc", J_ri, jnp.take(p, pair_i, axis=0)) \
                     + jnp.einsum("pcd,pd->pc", J_rj, jnp.take(p, pair_j, axis=0))
-                back_r = jax.ops.segment_sum(
-                    jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r), pair_i,
-                    num_segments=M,
-                ) + jax.ops.segment_sum(
-                    jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r), pair_j,
-                    num_segments=M,
+                back_r = red_pi(
+                    jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r)
+                ) + red_pj(
+                    jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r)
                 )
                 return back_d + back_r + lam * p
 

@@ -41,6 +41,31 @@ def _blend_with(dqs_k, wts_k):
     return dq_normalize8(jnp.sum(wts_k[:, None] * dqs_k, axis=0))
 
 
+def make_sorted_reducer(ids, num_segments):
+    """Scatter-free segment-sum: TPU scatters are near-serial, so reduce by
+    sorting contributions by segment once (the sparsity is fixed per
+    solve), then per call cumsum + two gathers at the segment boundaries.
+
+    Returns ``reduce((N,D)) -> (num_segments, D)`` summing rows by ids.
+    """
+    order = jnp.argsort(ids)
+    sorted_ids = jnp.take(ids, order, axis=0)
+    ends = jnp.searchsorted(
+        sorted_ids, jnp.arange(num_segments, dtype=ids.dtype), side="right"
+    ).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+
+    def reduce(x):
+        xs = jnp.take(x, order, axis=0)
+        csum = jnp.cumsum(xs, axis=0)
+        padded = jnp.concatenate(
+            [jnp.zeros((1,) + x.shape[1:], x.dtype), csum], axis=0
+        )
+        return jnp.take(padded, ends, axis=0) - jnp.take(padded, starts, axis=0)
+
+    return reduce
+
+
 def data_residual_one(dqs_k, vert, normal, corr, wts_k, lw_dq):
     se3 = _blend_with(dqs_k, wts_k)
     p = dq_transform_point(se3, vert)
@@ -125,6 +150,11 @@ def solve_nonrigid(
 
     cost0 = nonrigid_energy(node_dq, data_args, reg_args, lw_dq)
 
+    nbr_flat0 = nbr_idx.reshape(-1)
+    red_nbr = make_sorted_reducer(nbr_flat0, M)
+    red_pi = make_sorted_reducer(pair_i, M)
+    red_pj = make_sorted_reducer(pair_j, M)
+
     def gn_step(x, _):
         dqs_v = jnp.take(x, nbr_idx, axis=0)
         r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
@@ -146,19 +176,16 @@ def solve_nonrigid(
         J_rj = jnp.where(pair_mask[:, None, None], J_rj, 0.0)
         w_r = huber_irls_weight(r_r) * pair_mask[:, None]  # (P,3)
 
-        nbr_flat = nbr_idx.reshape(-1)
-
-        def scatter_nodes(contrib_flat):
-            return jax.ops.segment_sum(contrib_flat, nbr_flat, num_segments=M)
+        scatter_nodes = red_nbr
 
         # rhs = -JᵀW r
         g_d = scatter_nodes(
             (J_d * (w_d * r_d)[:, None, None]).reshape(-1, 8)
         )
-        g_r = jax.ops.segment_sum(
-            jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r), pair_i, num_segments=M
-        ) + jax.ops.segment_sum(
-            jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r), pair_j, num_segments=M
+        g_r = red_pi(
+            jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r)
+        ) + red_pj(
+            jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r)
         )
         rhs = -(g_d + g_r)
 
@@ -166,10 +193,10 @@ def solve_nonrigid(
         diag = scatter_nodes(
             (w_d[:, None, None] * J_d**2).reshape(-1, 8)
         )
-        diag = diag + jax.ops.segment_sum(
-            jnp.einsum("pcd,pc->pd", J_ri**2, w_r), pair_i, num_segments=M
-        ) + jax.ops.segment_sum(
-            jnp.einsum("pcd,pc->pd", J_rj**2, w_r), pair_j, num_segments=M
+        diag = diag + red_pi(
+            jnp.einsum("pcd,pc->pd", J_ri**2, w_r)
+        ) + red_pj(
+            jnp.einsum("pcd,pc->pd", J_rj**2, w_r)
         )
         lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
         diag_lm = diag + lam
@@ -182,12 +209,10 @@ def solve_nonrigid(
             )
             Jp_r = jnp.einsum("pcd,pd->pc", J_ri, jnp.take(p, pair_i, axis=0)) + \
                 jnp.einsum("pcd,pd->pc", J_rj, jnp.take(p, pair_j, axis=0))
-            back_r = jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r), pair_i,
-                num_segments=M,
-            ) + jax.ops.segment_sum(
-                jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r), pair_j,
-                num_segments=M,
+            back_r = red_pi(
+                jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r)
+            ) + red_pj(
+                jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r)
             )
             return back_d + back_r + lam * p
 
