@@ -42,11 +42,14 @@ def _blend_with(dqs_k, wts_k):
 
 
 def make_sorted_reducer(ids, num_segments):
-    """Scatter-free segment-sum: TPU scatters are near-serial, so reduce by
-    sorting contributions by segment once (the sparsity is fixed per
-    solve), then per call cumsum + two gathers at the segment boundaries.
+    """Scatter-free segment-sum in channel-major layout.
 
-    Returns ``reduce((N,D)) -> (num_segments, D)`` summing rows by ids.
+    TPU scatters are near-serial and (N, D) contribution arrays pad their
+    minor dim to 128 lanes, so reductions run as: sort contributions by
+    segment once (the sparsity is fixed per solve), then per call a
+    lane-direction cumsum of the (D, N) array + two boundary gathers.
+
+    Returns ``reduce((D, N)) -> (D, num_segments)`` summing columns by ids.
     """
     order = jnp.argsort(ids)
     sorted_ids = jnp.take(ids, order, axis=0)
@@ -55,13 +58,13 @@ def make_sorted_reducer(ids, num_segments):
     ).astype(jnp.int32)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
 
-    def reduce(x):
-        xs = jnp.take(x, order, axis=0)
-        csum = jnp.cumsum(xs, axis=0)
+    def reduce(x):  # (D, N) → (D, M)
+        xs = jnp.take(x, order, axis=1)
+        csum = jnp.cumsum(xs, axis=1)
         padded = jnp.concatenate(
-            [jnp.zeros((1,) + x.shape[1:], x.dtype), csum], axis=0
+            [jnp.zeros(x.shape[:1] + (1,), x.dtype), csum], axis=1
         )
-        return jnp.take(padded, ends, axis=0) - jnp.take(padded, starts, axis=0)
+        return jnp.take(padded, ends, axis=1) - jnp.take(padded, starts, axis=1)
 
     return reduce
 
@@ -154,16 +157,21 @@ def solve_nonrigid(
     red_nbr = make_sorted_reducer(nbr_flat0, M)
     red_pi = make_sorted_reducer(pair_i, M)
     red_pj = make_sorted_reducer(pair_j, M)
+    V, k = nbr_idx.shape
+    N = V * k
 
+    # All per-CG-iteration arrays live in channel-major (D, N) layout —
+    # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
+    # multiply HBM traffic ~40x across the 32 CG iterations.
     def gn_step(x, _):
         dqs_v = jnp.take(x, nbr_idx, axis=0)
         r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
             dqs_v, verts, normals, corrs, blend_wts, lw_dq
         )
-        mask_d = corr_mask
-        r_d = jnp.where(mask_d, r_d, 0.0)
-        J_d = jnp.where(mask_d[:, None, None], J_d, 0.0)
-        w_d = huber_irls_weight(r_d) * mask_d  # (V,)
+        r_d = jnp.where(corr_mask, r_d, 0.0)
+        J_d = jnp.where(corr_mask[:, None, None], J_d, 0.0)
+        w_d = huber_irls_weight(r_d) * corr_mask  # (V,)
+        Jd8 = J_d.transpose(2, 0, 1).reshape(8, N)  # (8, V·k)
 
         r_r, J_ri, J_rj = jax.vmap(one_reg)(
             jnp.take(x, pair_i, axis=0),
@@ -174,67 +182,75 @@ def solve_nonrigid(
         r_r = jnp.where(pair_mask[:, None], r_r, 0.0)
         J_ri = jnp.where(pair_mask[:, None, None], J_ri, 0.0)
         J_rj = jnp.where(pair_mask[:, None, None], J_rj, 0.0)
-        w_r = huber_irls_weight(r_r) * pair_mask[:, None]  # (P,3)
+        w_r3 = (huber_irls_weight(r_r) * pair_mask[:, None]).T  # (3, P)
+        r_r3 = r_r.T                                             # (3, P)
+        Ji24 = J_ri.transpose(1, 2, 0).reshape(24, -1)  # rows = c·8+e
+        Jj24 = J_rj.transpose(1, 2, 0).reshape(24, -1)
 
-        scatter_nodes = red_nbr
+        def reg_fold(J24, s3):
+            """Σ_c J[(c,e), p] · s3[c, p] → (8, P)."""
+            return sum(
+                J24[c * 8 : (c + 1) * 8] * s3[c][None, :] for c in range(3)
+            )
 
-        # rhs = -JᵀW r
-        g_d = scatter_nodes(
-            (J_d * (w_d * r_d)[:, None, None]).reshape(-1, 8)
-        )
-        g_r = red_pi(
-            jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r)
-        ) + red_pj(
-            jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r)
+        def rep(v):  # (V,) → (N,) repeating each vertex value k times
+            return jnp.broadcast_to(v[:, None], (V, k)).reshape(N)
+
+        # rhs = -JᵀW r, channel-major (8, M)
+        g_d = red_nbr(Jd8 * rep(w_d * r_d)[None, :])
+        g_r = red_pi(reg_fold(Ji24, w_r3 * r_r3)) + red_pj(
+            reg_fold(Jj24, w_r3 * r_r3)
         )
         rhs = -(g_d + g_r)
 
         # Jacobi preconditioner / damping diag
-        diag = scatter_nodes(
-            (w_d[:, None, None] * J_d**2).reshape(-1, 8)
-        )
+        diag = red_nbr(Jd8 * Jd8 * rep(w_d)[None, :])
         diag = diag + red_pi(
-            jnp.einsum("pcd,pc->pd", J_ri**2, w_r)
+            sum(Ji24[c * 8 : (c + 1) * 8] ** 2 * w_r3[c][None, :] for c in range(3))
         ) + red_pj(
-            jnp.einsum("pcd,pc->pd", J_rj**2, w_r)
+            sum(Jj24[c * 8 : (c + 1) * 8] ** 2 * w_r3[c][None, :] for c in range(3))
         )
         lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
         diag_lm = diag + lam
 
-        def matvec(p):
-            p_v = jnp.take(p, nbr_idx, axis=0)  # (V,k,8)
-            Jp_d = jnp.einsum("vkd,vkd->v", J_d, p_v)
-            back_d = scatter_nodes(
-                (J_d * (w_d * Jp_d)[:, None, None]).reshape(-1, 8)
-            )
-            Jp_r = jnp.einsum("pcd,pd->pc", J_ri, jnp.take(p, pair_i, axis=0)) + \
-                jnp.einsum("pcd,pd->pc", J_rj, jnp.take(p, pair_j, axis=0))
-            back_r = red_pi(
-                jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r)
-            ) + red_pj(
-                jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r)
-            )
-            return back_d + back_r + lam * p
+        def matvec(p8):  # (8, M) → (8, M)
+            pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
+            prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
+            Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
+            back_d = red_nbr(Jd8 * rep(w_d * Jp_d)[None, :])
 
-        # Jacobi-PCG
+            pgi = jnp.take(p8, pair_i, axis=1)            # (8, P)
+            pgj = jnp.take(p8, pair_j, axis=1)
+            Jp_r3 = jnp.stack(
+                [
+                    jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
+                    + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
+                    for c in range(3)
+                ],
+                axis=0,
+            )  # (3, P)
+            s3 = w_r3 * Jp_r3
+            back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(reg_fold(Jj24, s3))
+            return back_d + back_r + lam * p8
+
+        # Jacobi-PCG in (8, M) layout
         def cg_body(i, state):
-            p, rvec, z, d, rz = state
+            sol, rvec, z, d, rz = state
             Ad = matvec(d)
-            alpha = rz / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
-            p = p + alpha * d
+            alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
+            sol = sol + alpha * d
             rvec = rvec - alpha * Ad
             z = rvec / diag_lm
-            rz_new = jnp.vdot(rvec, z)
+            rz_new = jnp.sum(rvec * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             d = z + beta * d
-            return p, rvec, z, d, rz_new
+            return sol, rvec, z, d, rz_new
 
-        p0 = jnp.zeros_like(x)
         z0 = rhs / diag_lm
-        state = (p0, rhs, z0, z0, jnp.vdot(rhs, z0))
-        delta = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
+        state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0))
+        delta8 = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
 
-        x_new = x + delta
+        x_new = x + delta8.T
         better = nonrigid_energy(x_new, data_args, reg_args, lw_dq) <= \
             nonrigid_energy(x, data_args, reg_args, lw_dq)
         return jnp.where(better, x_new, x), None
