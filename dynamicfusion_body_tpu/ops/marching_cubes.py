@@ -33,6 +33,7 @@ from functools import partial
 
 from . import mc_tables
 from .interp import trilinear
+from .search import searchsorted1d
 
 _TRI_TABLE = jnp.asarray(mc_tables.TRI_TABLE)  # (256, 5, 3) local edge ids
 _TRI_COUNT = jnp.asarray(mc_tables.TRI_COUNT)  # (256,)
@@ -117,9 +118,7 @@ def marching_cubes(
 
     # vertex r ← edge index e(r) = first position with csum == r+1
     vslots = jnp.arange(vert_cap, dtype=jnp.int32)
-    edge_of_vert = jnp.searchsorted(csum, vslots + 1, side="left").astype(
-        jnp.int32
-    )
+    edge_of_vert = searchsorted1d(csum, vslots + 1, side="left")
     edge_of_vert = jnp.minimum(edge_of_vert, 3 * nxyz - 1)
     vmask0 = vslots < n_verts
 
@@ -155,9 +154,7 @@ def marching_cubes(
 
     # ---- triangle emission (gather-only) ----------------------------------
     fslots = jnp.arange(face_cap, dtype=jnp.int32)
-    cell_of_face = jnp.searchsorted(tsum, fslots + 1, side="left").astype(
-        jnp.int32
-    )
+    cell_of_face = searchsorted1d(tsum, fslots + 1, side="left")
     cell_of_face = jnp.minimum(cell_of_face, case_flat.shape[0] - 1)
     fmask0 = fslots < n_faces
     slot = fslots - (jnp.take(tsum, cell_of_face, axis=0)

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .search import searchsorted1d
+
 
 @partial(jax.jit, static_argnames=("capacity",))
 def radius_subsample(
@@ -98,7 +100,7 @@ def radius_subsample(
     csum = jnp.cumsum(selected.astype(jnp.int32))
     count = jnp.minimum(csum[-1], capacity)
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    out_idx = jnp.searchsorted(csum, slots + 1, side="left").astype(jnp.int32)
+    out_idx = searchsorted1d(csum, slots + 1, side="left")
     out_idx = jnp.where(slots < count, jnp.minimum(out_idx, n - 1), 0)
     return out_idx, count
 

@@ -34,6 +34,7 @@ from ..ops.dualquat import (
     dq_transform_point,
 )
 from ..ops.losses import huber_irls_weight
+from ..ops.search import searchsorted1d
 
 
 def _blend_with(dqs_k, wts_k):
@@ -53,9 +54,9 @@ def make_sorted_reducer(ids, num_segments):
     """
     order = jnp.argsort(ids)
     sorted_ids = jnp.take(ids, order, axis=0)
-    ends = jnp.searchsorted(
+    ends = searchsorted1d(
         sorted_ids, jnp.arange(num_segments, dtype=ids.dtype), side="right"
-    ).astype(jnp.int32)
+    )
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
 
     def reduce(x):  # (D, N) → (D, M)
