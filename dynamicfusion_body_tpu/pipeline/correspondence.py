@@ -54,6 +54,51 @@ def closest_point_correspondences(
     return best_pt, valid, best_cost
 
 
+@partial(
+    jax.jit, static_argnames=("k", "tolerance", "grid_n", "cell")
+)
+def closest_point_correspondences_grid(
+    warped_verts: jax.Array,
+    warped_normals: jax.Array,
+    vert_mask: jax.Array,
+    live_verts: jax.Array,
+    live_mask: jax.Array,
+    k: int,
+    tolerance: float,
+    grid_n: int,
+    cell: float = 16.0,
+):
+    """Grid-hash variant of closest_point_correspondences for voxel-lattice
+    coordinates: exact within a ±cell/2 neighborhood, and queries with no
+    neighbor in range are invalid (the exact path would return a far match
+    that the tolerance prune rejects anyway)."""
+    from ..ops.grid_knn import grid_knn
+
+    d, idx, found = grid_knn(
+        warped_verts, live_verts, k, valid=live_mask, cell=cell,
+        grid_n=grid_n,
+    )
+    cand = jnp.take(live_verts, idx, axis=0)  # (V,k,3)
+    cost = jnp.abs(
+        jnp.sum(
+            warped_normals[:, None, :] * (warped_verts[:, None, :] - cand),
+            axis=-1,
+        )
+    )
+    cost = jnp.where(found, cost, jnp.inf)
+    best = jnp.argmin(cost, axis=1)
+    min_cost = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+    use_min = min_cost < 1.0
+    best_pt = jnp.where(
+        use_min[:, None],
+        jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0],
+        cand[:, 0],
+    )
+    best_cost = jnp.where(use_min, min_cost, 1.0)
+    valid = vert_mask & (best_cost <= tolerance) & found[:, 0]
+    return best_pt, valid, best_cost
+
+
 @jax.jit
 def feature_correspondences(
     canon_feats: jax.Array,  # (V,F) per-canonical-vertex descriptors

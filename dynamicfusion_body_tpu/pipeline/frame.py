@@ -26,7 +26,10 @@ from ..models import warp_field as WF
 from ..ops.marching_cubes import marching_cubes
 from ..solvers.nonrigid import make_reg_pairs, nonrigid_energy, solve_nonrigid
 from ..solvers.rigid import solve_rigid
-from .correspondence import closest_point_correspondences
+from .correspondence import (
+    closest_point_correspondences,
+    closest_point_correspondences_grid,
+)
 
 
 class FrameStats(NamedTuple):
@@ -94,6 +97,7 @@ def init_canonical(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
         "tolerance", "brick", "n_candidates", "update_graph", "use_pallas",
+        "use_grid_corr",
     ),
 )
 def fusion_frame(
@@ -119,6 +123,7 @@ def fusion_frame(
     n_candidates: int = 16,
     update_graph: bool = True,
     use_pallas: bool = False,
+    use_grid_corr: bool = True,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
     FrameStats). ``solve_iters`` = the reference's clpts iteration count.
@@ -142,10 +147,17 @@ def fusion_frame(
     )
     lmask = jnp.arange(live_vert_cap) < live_mesh["n_verts"]
 
+    grid_n = (max(live.shape) + 15) // 16
+
     def correspondences(wf_, lw_):
         wv, wn = WF.warp_points(
             wf_, mesh["verts"], nbr_idx, normals=mesh["normals"], m_lw=lw_
         )
+        if use_grid_corr:
+            return closest_point_correspondences_grid(
+                wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
+                grid_n=grid_n,
+            )
         return closest_point_correspondences(
             wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance
         )
