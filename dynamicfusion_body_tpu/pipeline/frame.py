@@ -123,7 +123,7 @@ def fusion_frame(
     n_candidates: int = 16,
     update_graph: bool = True,
     use_pallas: bool = False,
-    use_grid_corr: bool = True,
+    use_grid_corr: bool = False,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
     FrameStats). ``solve_iters`` = the reference's clpts iteration count.
