@@ -1,0 +1,227 @@
+"""Benchmark suite for the five BASELINE.json configs.
+
+  1. rigid projective TSDF fusion of synthetic depth renders into 64³
+  2. marching-cubes surface + normal extraction from the fused TSDF
+  3. dense rigid ICP camera tracking over a multi-frame depth sequence
+  4. warp-field DQB skinning + non-rigid TSDF update at 256³
+  5. full DynamicFusion loop at 256³ (== bench.py, the headline metric)
+
+Each config prints one JSON line. Run all: ``python benchmarks/suite.py``;
+one: ``python benchmarks/suite.py --config 3``. The input meshes/depths
+are synthesized (the reference's data/ directory is gitignored upstream;
+SURVEY §2 #16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bumpy_sdf  # noqa: E402
+
+
+def _setup_jax():
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _body_mesh(res=128, vert_cap=1 << 15, face_cap=1 << 16):
+    """Synthetic deformable-body stand-in mesh via our own MC."""
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.ops.marching_cubes import marching_cubes
+
+    sdf = bumpy_sdf(res, (res / 2,) * 3, res * 0.27, res / 64, 3.0)
+    m = marching_cubes(jnp.asarray(sdf), vert_cap=vert_cap, face_cap=face_cap)
+    nv, nf = int(m["n_verts"]), int(m["n_faces"])
+    verts = np.asarray(m["verts"])[:nv] / res * 1.8 - 0.9  # ~metric units
+    faces = np.asarray(m["faces"])[:nf]
+    return verts.astype(np.float32), faces
+
+
+def _render_views(verts, faces, K, n_views, h, w, dist=2.5):
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.ops.transforms import rotation_matrix
+    from dynamicfusion_body_tpu.render.raster import render_depth
+
+    depths, lws = [], []
+    fmask = jnp.ones(len(faces), bool)
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        R = rotation_matrix(ang, [0, 1, 0])[:3, :3]
+        t = np.array([0, 0, dist]) - R @ np.zeros(3)
+        lw = np.concatenate([R, t[:, None]], 1).astype(np.float32)
+        d = render_depth(
+            jnp.asarray(verts), jnp.asarray(faces), fmask, jnp.asarray(K),
+            jnp.asarray(lw), h, w, S=8,
+        )
+        depths.append(np.asarray(d))
+        lws.append(lw)
+    return depths, lws
+
+
+def _emit(name, ms, extra=None):
+    out = {"metric": name, "value": round(ms, 2), "unit": "ms"}
+    out.update(extra or {})
+    print(json.dumps(out))
+
+
+def config1():
+    """Rigid projective fusion of rendered depth maps into 64³."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.pipeline.fusion import FusionDM
+
+    K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
+    verts, faces = _body_mesh()
+    depths, lws = _render_views(verts, faces, K, n_views=8, h=512, w=512)
+    fus = FusionDM(0.05, K, tsdf_res=64, vert_cap=1 << 15, face_cap=1 << 16)
+    fus.compute_live_tsdf(depths, lws, UseAutoAlignment=True)  # warm
+    t0 = time.time()
+    fus.compute_live_tsdf(depths, lws, UseAutoAlignment=True)
+    jax.block_until_ready(fus.volume.values)
+    ms = (time.time() - t0) * 1000
+    _emit("config1_rigid_fusion_64", ms, {"n_views": 8})
+    return fus
+
+
+def config2():
+    """Marching cubes + normals from the fused TSDF."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.ops.marching_cubes import marching_cubes
+
+    vol = jnp.asarray(bumpy_sdf(256, (128,) * 3, 70.0, 4.0, 3.0))
+    f = lambda: marching_cubes(vol, vert_cap=1 << 17, face_cap=1 << 18)
+    out = f()
+    nv = float(out["n_verts"])
+    t0 = time.time()
+    for _ in range(5):
+        out = f()
+        nv = float(out["n_verts"])
+    _emit("config2_marching_cubes_256", (time.time() - t0) / 5 * 1000,
+          {"n_verts": int(nv)})
+
+
+def config3():
+    """Rigid ICP camera tracking over a rendered depth sequence."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.ops.transforms import rotation_matrix
+    from dynamicfusion_body_tpu.ops.se3 import se3_to_dq, dq_to_se3
+    from dynamicfusion_body_tpu.pipeline.fusion import FusionDM
+
+    K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
+    verts, faces = _body_mesh()
+    # frame 0 fused from 8 views, then track 5 slightly-rotated live frames
+    depths, lws = _render_views(verts, faces, K, n_views=8, h=512, w=512)
+    fus = FusionDM(0.05, K, tsdf_res=96, vert_cap=1 << 15, face_cap=1 << 16)
+    fus.compute_live_tsdf(depths, lws, UseAutoAlignment=True)
+    fus.marching_cubes()
+
+    errs, times = [], []
+    for i, ang in enumerate(np.linspace(0.02, 0.1, 5)):
+        # live TSDF: the same surface rigidly rotated in grid space
+        Rg = rotation_matrix(ang, [0, 1, 0], point=[48, 48, 48])
+        live = FusionDM(0.05, K, tsdf_res=96, vert_cap=1 << 15,
+                        face_cap=1 << 16)
+        live.volume = fus.volume
+        # build live volume by resampling canonical under the rigid motion
+        from dynamicfusion_body_tpu.ops.interp import trilinear
+
+        g = np.arange(96, dtype=np.float32)
+        x, y, z = np.meshgrid(g, g, g, indexing="ij")
+        pts = np.stack([x, y, z], -1).reshape(-1, 3)
+        inv = np.linalg.inv(Rg)
+        pts_t = pts @ inv[:3, :3].T + inv[:3, 3]
+        vals, ok = trilinear(fus.volume.values, jnp.asarray(pts_t))
+        lv = jnp.where(ok, vals, 0.05).reshape(96, 96, 96)
+
+        t0 = time.time()
+        fus._lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+        fus.solve(lv)
+        jax.block_until_ready(fus._lw)
+        times.append(time.time() - t0)
+        est = np.asarray(dq_to_se3(fus._lw))
+        gt = np.asarray(se3_to_dq(jnp.asarray(Rg, dtype=jnp.float32)))
+        # rotation angle error
+        cosang = (np.trace(est[:3, :3] @ Rg[:3, :3].T) - 1) / 2
+        errs.append(abs(np.degrees(np.arccos(np.clip(cosang, -1, 1)))))
+    _emit("config3_rigid_icp_tracking", float(np.median(times) * 1000),
+          {"median_rot_err_deg": round(float(np.median(errs)), 3)})
+
+
+def config4():
+    """DQB skinning + non-rigid TSDF update at 256³ (updateTSDF alone)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.models import warp_field as WF
+    from dynamicfusion_body_tpu.pipeline.frame import init_canonical
+    from dynamicfusion_body_tpu.ops.trilerp_pallas import (
+        trilerp_bricks_supported,
+    )
+
+    canonical = jnp.asarray(bumpy_sdf(256, (128,) * 3, 70.0, 4.0, 3.0, 0.0))
+    live = jnp.asarray(bumpy_sdf(256, (130, 129, 128), 70.0, 4.0, 3.0, 0.1))
+    tdist = float(canonical.max())
+    wf, _ = init_canonical(canonical, subsample_rate=1.5, node_cap=4096,
+                           mc_step=2, vert_cap=1 << 15, face_cap=1 << 16)
+    lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], jnp.float32)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and trilerp_bricks_supported((256,) * 3, 8))
+
+    def f():
+        return WF.update_tsdf_nonrigid(
+            canonical, jnp.zeros_like(canonical), live, wf, lw, k=3,
+            tdist=tdist, brick=8, n_candidates=16, use_pallas=use_pallas,
+        )
+
+    v, w = f()
+    x = float(v[0, 0, 0])
+    t0 = time.time()
+    for _ in range(3):
+        v, w = f()
+        x = float(v[0, 0, 0])
+    _emit("config4_nonrigid_update_256", (time.time() - t0) / 3 * 1000,
+          {"pallas": use_pallas})
+
+
+def config5():
+    """Full DynamicFusion frame at 256³ — delegates to bench.py."""
+    import subprocess
+
+    subprocess.run([sys.executable, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py")], check=True)
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0, help="0 = all")
+    args = ap.parse_args()
+    todo = [args.config] if args.config else sorted(CONFIGS)
+    for c in todo:
+        CONFIGS[c]()
+
+
+if __name__ == "__main__":
+    main()
