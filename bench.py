@@ -85,7 +85,7 @@ def main():
 
     hyper = dict(
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
-        solve_iters=3, gn_iters=8, cg_iters=32, tolerance=0.2,
+        solve_iters=3, gn_iters=8, cg_iters=16, tolerance=5.0,
         n_candidates=16,
         use_pallas=(jax.default_backend() == "tpu"
                     and trilerp_bricks_supported((RES,) * 3, 8)),

@@ -173,7 +173,15 @@ def solve_nonrigid_sharded(
         red_nbr = make_sorted_reducer(nbr_idx.reshape(-1), M)
         red_pi = make_sorted_reducer(pair_i, M)
         red_pj = make_sorted_reducer(pair_j, M)
+        V, k = nbr_idx.shape
+        N = V * k
 
+        def psum(x):
+            return jax.lax.psum(x, VOXEL_AXIS)
+
+        # channel-major GN step (mirrors solvers/nonrigid.py) with the
+        # vertex-sharded data term psum'd over the mesh; the replicated
+        # regularization term is computed identically on every device.
         def gn_step(x, _):
             dqs_v = jnp.take(x, nbr_idx, axis=0)
             r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
@@ -182,74 +190,97 @@ def solve_nonrigid_sharded(
             r_d = jnp.where(corr_mask, r_d, 0.0)
             J_d = jnp.where(corr_mask[:, None, None], J_d, 0.0)
             w_d = huber_irls_weight(r_d) * corr_mask
+            Jd8 = J_d.transpose(2, 0, 1).reshape(8, N)
+
             r_r, J_ri, J_rj = jax.vmap(one_reg)(
-                jnp.take(x, pair_i, axis=0), jnp.take(x, pair_j, axis=0),
-                pair_v, pair_scale,
+                jnp.take(x, pair_i, axis=0),
+                jnp.take(x, pair_j, axis=0),
+                pair_v,
+                pair_scale,
             )
             r_r = jnp.where(pair_mask[:, None], r_r, 0.0)
             J_ri = jnp.where(pair_mask[:, None, None], J_ri, 0.0)
             J_rj = jnp.where(pair_mask[:, None, None], J_rj, 0.0)
-            w_r = huber_irls_weight(r_r) * pair_mask[:, None]
+            w_r3 = (huber_irls_weight(r_r) * pair_mask[:, None]).T
+            r_r3 = r_r.T
+            Ji24 = J_ri.transpose(1, 2, 0).reshape(24, -1)
+            Jj24 = J_rj.transpose(1, 2, 0).reshape(24, -1)
 
-            scatter_nodes = red_nbr
+            def reg_fold(J24, s3):
+                return sum(
+                    J24[c * 8 : (c + 1) * 8] * s3[c][None, :] for c in range(3)
+                )
 
-            g_d = jax.lax.psum(
-                scatter_nodes((J_d * (w_d * r_d)[:, None, None]).reshape(-1, 8)),
-                VOXEL_AXIS,
-            )
-            g_r = red_pi(
-                jnp.einsum("pcd,pc->pd", J_ri, w_r * r_r)
-            ) + red_pj(
-                jnp.einsum("pcd,pc->pd", J_rj, w_r * r_r)
+            def rep(v):
+                return jnp.broadcast_to(v[:, None], (V, k)).reshape(N)
+
+            g_d = psum(red_nbr(Jd8 * rep(w_d * r_d)[None, :]))
+            g_r = red_pi(reg_fold(Ji24, w_r3 * r_r3)) + red_pj(
+                reg_fold(Jj24, w_r3 * r_r3)
             )
             rhs = -(g_d + g_r)
 
-            diag = jax.lax.psum(
-                scatter_nodes((w_d[:, None, None] * J_d**2).reshape(-1, 8)),
-                VOXEL_AXIS,
-            )
-            diag = diag + red_pi(
-                jnp.einsum("pcd,pc->pd", J_ri**2, w_r)
-            ) + red_pj(
-                jnp.einsum("pcd,pc->pd", J_rj**2, w_r)
-            )
-            lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
-            diag_lm = diag + lam
+            def outer64(J8, w_row):
+                return jnp.concatenate(
+                    [J8[a : a + 1] * J8 * w_row[None, :] for a in range(8)],
+                    axis=0,
+                )
 
-            def matvec(p):
-                p_v = jnp.take(p, nbr_idx, axis=0)
-                Jp_d = jnp.einsum("vkd,vkd->v", J_d, p_v)
-                back_d = jax.lax.psum(
-                    scatter_nodes(
-                        (J_d * (w_d * Jp_d)[:, None, None]).reshape(-1, 8)
-                    ),
-                    VOXEL_AXIS,
+            blk = psum(red_nbr(outer64(Jd8, rep(w_d))))
+            for c in range(3):
+                blk = blk + red_pi(
+                    outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
+                ) + red_pj(outer64(Jj24[c * 8 : (c + 1) * 8], w_r3[c]))
+            diag = blk.reshape(8, 8, M)[jnp.arange(8), jnp.arange(8), :]
+            lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
+            D = blk.T.reshape(M, 8, 8) + lam * jnp.eye(8)[None, :, :]
+            Dinv = jnp.linalg.inv(D)
+
+            def precond(r8):
+                return jnp.einsum(
+                    "mab,bm->am", Dinv, r8,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
-                Jp_r = jnp.einsum("pcd,pd->pc", J_ri, jnp.take(p, pair_i, axis=0)) \
-                    + jnp.einsum("pcd,pd->pc", J_rj, jnp.take(p, pair_j, axis=0))
-                back_r = red_pi(
-                    jnp.einsum("pcd,pc->pd", J_ri, w_r * Jp_r)
-                ) + red_pj(
-                    jnp.einsum("pcd,pc->pd", J_rj, w_r * Jp_r)
+
+            nbr_flat0 = nbr_idx.reshape(-1)
+
+            def matvec(p8):
+                pg = jnp.take(p8, nbr_flat0, axis=1)
+                prod = jnp.sum(Jd8 * pg, axis=0)
+                Jp_d = jnp.sum(prod.reshape(V, k), axis=1)
+                back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
+                pgi = jnp.take(p8, pair_i, axis=1)
+                pgj = jnp.take(p8, pair_j, axis=1)
+                Jp_r3 = jnp.stack(
+                    [
+                        jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
+                        + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
+                        for c in range(3)
+                    ],
+                    axis=0,
                 )
-                return back_d + back_r + lam * p
+                s3 = w_r3 * Jp_r3
+                back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(
+                    reg_fold(Jj24, s3)
+                )
+                return back_d + back_r + lam * p8
 
             def cg_body(i, state):
                 sol, rvec, z, d, rz = state
                 Ad = matvec(d)
-                alpha = rz / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
+                alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
                 sol = sol + alpha * d
                 rvec = rvec - alpha * Ad
-                z = rvec / diag_lm
-                rz_new = jnp.vdot(rvec, z)
+                z = precond(rvec)
+                rz_new = jnp.sum(rvec * z)
                 beta = rz_new / jnp.maximum(rz, 1e-30)
                 d = z + beta * d
                 return sol, rvec, z, d, rz_new
 
-            z0 = rhs / diag_lm
-            state = (jnp.zeros_like(x), rhs, z0, z0, jnp.vdot(rhs, z0))
-            delta = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
-            x_new = x + delta
+            z0 = precond(rhs)
+            state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0))
+            delta8 = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
+            x_new = x + delta8.T
             better = energy(x_new) <= energy(x)
             return jnp.where(better, x_new, x), None
 

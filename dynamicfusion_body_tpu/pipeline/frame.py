@@ -181,17 +181,32 @@ def fusion_frame(
 
     def round_fn(carry, it):
         node_dq, lw_, rw, act = carry
-        corr_, cval_, _ = correspondences(wf.replace(node_dq=node_dq), lw_)
-        pair_scale = rw * base_scale
-        data_args = (mesh["verts"], mesh["normals"], corr_, cval_, nbr_idx,
-                     blend_wts)
-        reg_args = (pair_i, pair_j, pair_v, pair_scale, pmask0)
-        cb = nonrigid_energy(node_dq, data_args, reg_args, lw_, robust=False)
-        new_dq, _, ca = solve_nonrigid(
-            node_dq, *data_args, *reg_args, lw_,
-            gn_iters=gn_iters, cg_iters=cg_iters,
-        )
-        node_dq = jnp.where(act, new_dq, node_dq)
+
+        def run(args):
+            node_dq, lw_, rw = args
+            corr_, cval_, _ = correspondences(
+                wf.replace(node_dq=node_dq), lw_
+            )
+            pair_scale = rw * base_scale
+            data_args = (mesh["verts"], mesh["normals"], corr_, cval_,
+                         nbr_idx, blend_wts)
+            reg_args = (pair_i, pair_j, pair_v, pair_scale, pmask0)
+            cb = nonrigid_energy(
+                node_dq, data_args, reg_args, lw_, robust=False
+            )
+            new_dq, _, ca = solve_nonrigid(
+                node_dq, *data_args, *reg_args, lw_,
+                gn_iters=gn_iters, cg_iters=cg_iters,
+            )
+            return new_dq, cb, ca
+
+        def skip(args):
+            node_dq, _, _ = args
+            return node_dq, jnp.float32(0.0), jnp.float32(0.0)
+
+        # deactivated rounds are genuinely skipped (the reference breaks
+        # out of its iteration loop, core/fusion.py:405-412)
+        node_dq, cb, ca = jax.lax.cond(act, run, skip, (node_dq, lw_, rw))
         reduct = (cb - ca) / jnp.maximum(cb, 1e-30)
         relax = (reduct > 0.05) & (reduct < 0.9)
         rw = jnp.where(act & relax, rw / 8.0, rw)

@@ -204,15 +204,33 @@ def solve_nonrigid(
         )
         rhs = -(g_d + g_r)
 
-        # Jacobi preconditioner / damping diag
-        diag = red_nbr(Jd8 * Jd8 * rep(w_d)[None, :])
-        diag = diag + red_pi(
-            sum(Ji24[c * 8 : (c + 1) * 8] ** 2 * w_r3[c][None, :] for c in range(3))
-        ) + red_pj(
-            sum(Jj24[c * 8 : (c + 1) * 8] ** 2 * w_r3[c][None, :] for c in range(3))
-        )
+        # Block-Jacobi preconditioner: the exact per-node 8×8 diagonal
+        # block of JᵀWJ (data + both reg slots), inverted once per GN
+        # round. Far stronger than the scalar diagonal — CG needs ~half
+        # the iterations for the same residual.
+        def outer64(J8, w_row):
+            # (8,N),(N,) → (64,N): rows (a·8+b) = J[a]·J[b]·w
+            return jnp.concatenate(
+                [J8[a : a + 1] * J8 * w_row[None, :] for a in range(8)],
+                axis=0,
+            )
+
+        blk = red_nbr(outer64(Jd8, rep(w_d)))  # (64, M)
+        for c in range(3):
+            blk = blk + red_pi(
+                outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
+            ) + red_pj(outer64(Jj24[c * 8 : (c + 1) * 8], w_r3[c]))
+        diag = blk.reshape(8, 8, M)[
+            jnp.arange(8), jnp.arange(8), :
+        ]  # (8, M) true diagonal (for damping scale)
         lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
-        diag_lm = diag + lam
+        D = blk.T.reshape(M, 8, 8) + lam * jnp.eye(8)[None, :, :]
+        Dinv = jnp.linalg.inv(D)  # (M, 8, 8)
+
+        def precond(r8):  # (8, M) → (8, M)
+            return jnp.einsum(
+                "mab,bm->am", Dinv, r8, precision=jax.lax.Precision.HIGHEST
+            )
 
         def matvec(p8):  # (8, M) → (8, M)
             pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
@@ -241,13 +259,13 @@ def solve_nonrigid(
             alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
             sol = sol + alpha * d
             rvec = rvec - alpha * Ad
-            z = rvec / diag_lm
+            z = precond(rvec)
             rz_new = jnp.sum(rvec * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             d = z + beta * d
             return sol, rvec, z, d, rz_new
 
-        z0 = rhs / diag_lm
+        z0 = precond(rhs)
         state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0))
         delta8 = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
 
