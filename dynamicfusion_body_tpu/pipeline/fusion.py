@@ -46,14 +46,13 @@ IDENTITY_DQ = np.array([1, 0, 0, 0, 0, 0, 0, 0], dtype=np.float32)
 
 
 def _pad_to_multiple(vol, mult, fill):
-    r = vol.shape[0]
-    pad = (-r) % mult
-    if pad == 0:
-        return vol, r
-    return (
-        jnp.pad(vol, ((0, pad),) * 3, constant_values=fill),
-        r,
-    )
+    """Pad every axis up to a multiple of ``mult``; returns (padded,
+    original shape) so callers can slice back."""
+    shape = vol.shape
+    pads = tuple((0, (-s) % mult) for s in shape)
+    if not any(p[1] for p in pads):
+        return vol, shape
+    return jnp.pad(vol, pads, constant_values=fill), shape
 
 
 class FusionDM:
@@ -301,6 +300,8 @@ class Fusion:
         face_cap=1 << 17,
         node_cap=2048,
         warpfield_path=None,
+        cnn_image_size=512,
+        cnn_weights=None,
     ):
         tsdf = np.asarray(tsdf)
         if tsdf.ndim != 3:
@@ -324,7 +325,9 @@ class Fusion:
         if use_cnn:
             from .cnn_correspondence import CnnCorrespondence
 
-            self._cnn = CnnCorrespondence()
+            self._cnn = CnnCorrespondence(
+                weights_npz=cnn_weights, image_size=cnn_image_size
+            )
 
         self.volume = TsdfVolume.create(tsdf.shape[0], self._tdist)
         self.volume = self.volume.replace(
@@ -550,9 +553,8 @@ class Fusion:
             raise ValueError("tsdf of live frame has not been loaded")
         if self._curr_tsdf.ndim != 3:
             raise ValueError("Only accept 3D np array as tsdf")
-        res = self.volume.values.shape[0]
-        brick = 8 if res % 8 == 0 else (4 if res % 4 == 0 else 1)
-        vals, r0 = _pad_to_multiple(self.volume.values, brick, self._tdist)
+        brick = 8 if min(self.volume.values.shape) >= 8 else 4
+        vals, shape0 = _pad_to_multiple(self.volume.values, brick, self._tdist)
         wts, _ = _pad_to_multiple(self.volume.weights, brick, 0.0)
         from ..ops.trilerp_pallas import trilerp_bricks_supported
 
@@ -564,8 +566,9 @@ class Fusion:
             k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
             n_candidates=min(16, self._node_cap), use_pallas=use_pallas,
         )
+        sx, sy, sz = shape0
         self.volume = self.volume.replace(
-            values=v[:r0, :r0, :r0], weights=w[:r0, :r0, :r0]
+            values=v[:sx, :sy, :sz], weights=w[:sx, :sy, :sz]
         )
 
     # ------------------------------------------------------------------ #

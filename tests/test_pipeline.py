@@ -106,3 +106,20 @@ def test_write_live_frame_mesh(tmp_path):
     fus.write_live_frame_mesh(str(tmp_path), "live.obj",
                               os.path.join(tmp_path, ck))
     assert os.path.exists(os.path.join(tmp_path, "live.obj"))
+
+
+def test_fusion_cnn_correspondence_path():
+    """method='cnn' end to end through the driver (random-init weights —
+    the reference's checkpoint is an external download)."""
+    vol = ellipsoid_levelset(5, 7, 9)[:-1]
+    vol2 = ellipsoid_levelset(5, 7, 9, offset=(0.5, 0.3, 0.0))[:-1]
+    fus = Fusion(vol, float(vol.max()), marching_cubes_step_size=1,
+                 subsample_rate=2, vert_cap=2048, face_cap=4096, node_cap=64,
+                 use_cnn=True, cnn_image_size=128, write_warpfield=False)
+    fus.setupCorrespondences(vol2, method="cnn", tolerance=3.0)
+    n = int(fus._mesh["n_verts"])
+    frac = float(jnp.mean(fus._corr_valid[:n]))
+    assert frac > 0.3, frac
+    fus.solve(method="cnn", regularization_weight=5.0)
+    fus.updateTSDF()
+    assert float(fus.volume.weights.max()) > 0
