@@ -92,24 +92,32 @@ def main():
         **caps, **live_caps,
     )
 
-    def frame(values, weights, wf, lw, live):
-        return fusion_frame(values, weights, live, wf, lw, **hyper)
+    def frame(values, weights, wf, lw, live, mesh):
+        return fusion_frame(values, weights, live, wf, lw,
+                            canon_mesh=mesh, **hyper)
 
-    # warmup (compile)
+    # warmup (compile both variants: first frame computes the canonical
+    # mesh in-graph, later frames receive the previous frame's mesh)
     t0 = time.time()
-    v, w, wf_w, lw_w, stats = frame(values, weights, wf, lw, lives[0])
+    out = frame(values, weights, wf, lw, lives[0], None)
+    stats = out[4]
     _ = float(stats.cost_after[-1])  # force completion
+    out2 = frame(*out[:4], lives[0], out[5])
+    _ = float(out2[4].cost_after[-1])
     print(
-        f"# warmup frame {time.time()-t0:.1f}s corr={int(stats.n_corr)} "
+        f"# warmup frames {time.time()-t0:.1f}s corr={int(stats.n_corr)} "
         f"nodes={int(stats.n_nodes)} verts={int(stats.n_verts)}",
         file=sys.stderr,
     )
 
-    # steady state: chained frames, one fetch per frame
+    # steady state: chained frames (mesh threaded through), one fetch each
     times = []
+    mesh = None
     for live in lives:
         t0 = time.time()
-        values, weights, wf, lw, stats = frame(values, weights, wf, lw, live)
+        values, weights, wf, lw, stats, mesh = frame(
+            values, weights, wf, lw, live, mesh
+        )
         _ = float(stats.cost_after[-1])
         times.append(time.time() - t0)
     ms = float(np.median(times) * 1000.0)

@@ -124,6 +124,7 @@ def fusion_frame(
     update_graph: bool = True,
     use_pallas: bool = False,
     use_grid_corr: bool = False,
+    canon_mesh=None,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
     FrameStats). ``solve_iters`` = the reference's clpts iteration count.
@@ -135,9 +136,14 @@ def fusion_frame(
         live_vert_cap = vert_cap
     if live_face_cap is None:
         live_face_cap = face_cap
-    # canonical mesh (the reference reuses the mesh from the last
-    # update_graph — identical volume ⇒ identical mesh)
-    mesh, vmask = _canonical_mesh(values, vert_cap, face_cap, mc_step)
+    # canonical mesh: the reference reuses the mesh from the previous
+    # frame's update_graph (identical volume ⇒ identical mesh) — pass the
+    # previous frame's returned mesh as ``canon_mesh`` to skip recomputing.
+    if canon_mesh is None:
+        mesh, vmask = _canonical_mesh(values, vert_cap, face_cap, mc_step)
+    else:
+        mesh = canon_mesh
+        vmask = jnp.arange(vert_cap) < mesh["n_verts"]
     nbr_idx = WF.neighbor_lookup(wf, mesh["verts"], knn_k)
     blend_wts = _blend_weights(wf, mesh["verts"], nbr_idx)
 
@@ -231,15 +237,15 @@ def fusion_frame(
     if update_graph:
         mesh2, vmask2 = _canonical_mesh(values, vert_cap, face_cap, mc_step)
         wf = WF.update_graph(wf, mesh2["verts"], vmask2, knn_k)
-        nv2 = mesh2["n_verts"]
+        mesh_out = mesh2
     else:
-        nv2 = mesh["n_verts"]
+        mesh_out = mesh
 
     stats = FrameStats(
         cost_before=cbs,
         cost_after=cas,
         n_corr=n_corr0,
         n_nodes=wf.num_active,
-        n_verts=nv2,
+        n_verts=mesh_out["n_verts"],
     )
-    return values, weights, wf, lw_dq, stats
+    return values, weights, wf, lw_dq, stats, mesh_out

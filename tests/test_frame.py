@@ -22,12 +22,13 @@ def test_fusion_frame_tracks_motion():
     assert int(wf.num_active) > 3
     lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
 
-    v, w, wf2, lw2, stats = fusion_frame(
+    v, w, wf2, lw2, stats, mesh_out = fusion_frame(
         jnp.asarray(canonical), jnp.zeros((res,) * 3), jnp.asarray(live),
         wf, lw, regularization_weight=1.0, knn_k=3, tdist=tdist, mc_step=1,
         solve_iters=2, gn_iters=6, cg_iters=24, tolerance=2.0,
         brick=8, n_candidates=16, **caps,
     )
+    assert int(mesh_out["n_verts"]) > 0
     cb = np.asarray(stats.cost_before)
     ca = np.asarray(stats.cost_after)
     assert ca[0] < 0.5 * cb[0]  # first GN round substantially reduced energy
@@ -64,7 +65,7 @@ def test_fusion_frame_no_graph_update():
         **caps,
     )
     lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
-    v, w, wf2, lw2, stats = fusion_frame(
+    v, w, wf2, lw2, stats, mesh_out = fusion_frame(
         jnp.asarray(canonical), jnp.zeros((res,) * 3),
         jnp.asarray(canonical), wf, lw, regularization_weight=1.0,
         knn_k=3, tdist=float(canonical.max()), mc_step=1, solve_iters=1,
