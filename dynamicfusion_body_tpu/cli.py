@@ -82,17 +82,26 @@ def cmd_sequence(args):
     )
     fus.write_canonical_mesh(args.out_dir, "original.obj")
     timer = PhaseTimer()
+    # like the reference harness, a failed or interrupted frame stops the
+    # loop but still writes the accumulated mesh (test.py:133-138)
     for i, fname in enumerate(files[1 : args.max_frames + 1], start=1):
-        _, _, vol, _ = load_sdf(os.path.join(args.data, fname))
-        print(f"Processing iteration: {i} ({fname})")
-        with timer.phase("setupCorrespondences"):
-            fus.setupCorrespondences(vol, method=args.method)
-        with timer.phase("solve", sync=fus._warp.node_dq):
-            fus.solve(regularization_weight=args.reg_weight, method=args.method)
-        with timer.phase("updateTSDF", sync=fus.volume.values):
-            fus.updateTSDF()
-        with timer.phase("update_graph"):
-            fus.update_graph()
+        try:
+            _, _, vol, _ = load_sdf(os.path.join(args.data, fname))
+            print(f"Processing iteration: {i} ({fname})")
+            with timer.phase("setupCorrespondences"):
+                fus.setupCorrespondences(vol, method=args.method)
+            with timer.phase("solve", sync=fus._warp.node_dq):
+                fus.solve(regularization_weight=args.reg_weight,
+                          method=args.method)
+            with timer.phase("updateTSDF", sync=fus.volume.values):
+                fus.updateTSDF()
+            with timer.phase("update_graph"):
+                fus.update_graph()
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            break
+        except KeyboardInterrupt:
+            break
     fus.write_canonical_mesh(args.out_dir, args.out)
     timer.dump(os.path.join(args.out_dir, "profile.json"))
     print(timer.report())
