@@ -74,3 +74,54 @@ def test_fusion_frame_no_graph_update():
     )
     # identical live frame + identity-ish pose: node count unchanged
     assert int(wf2.num_active) == int(wf.num_active)
+
+
+def test_fusion_frame_sequence_tracking():
+    """Five-frame deforming sequence: the canonical surface must stay
+    stable while the warp tracks the moving live surface (the core
+    DynamicFusion contract, reference test.py:104-138 flow)."""
+    res = 32
+    canonical = sphere_levelset(res, (16, 16, 16), 9.0)
+    tdist = float(canonical.max())
+    caps = dict(vert_cap=4096, face_cap=8192)
+    wf, _ = init_canonical(
+        jnp.asarray(canonical), subsample_rate=2.0, node_cap=128, mc_step=1,
+        **caps,
+    )
+    lw = jnp.array([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    values = jnp.asarray(canonical)
+    weights = jnp.zeros((res,) * 3)
+    mesh = None
+
+    line0 = canonical[:, 16, 16]
+    zc0 = np.interp(0.0, line0[16:28], np.arange(16, 28))
+
+    centers = [(16.4 + 0.35 * i, 16.0 + 0.15 * i, 16.0) for i in range(5)]
+    for cx, cy, cz in centers:
+        live = sphere_levelset(res, (cx, cy, cz), 9.0)
+        values, weights, wf, lw, stats, mesh = fusion_frame(
+            values, weights, jnp.asarray(live), wf, lw,
+            regularization_weight=1.0, knn_k=3, tdist=tdist, mc_step=1,
+            solve_iters=2, gn_iters=6, cg_iters=24, tolerance=2.0,
+            brick=8, n_candidates=16, canon_mesh=mesh, **caps,
+        )
+
+    # canonical zero-crossing stationary after 5 fused frames of motion
+    line1 = np.asarray(values)[:, 16, 16]
+    zc1 = np.interp(0.0, line1[16:28], np.arange(16, 28))
+    assert abs(zc1 - zc0) < 0.5, (zc0, zc1)
+    # weights accumulated every frame
+    assert float(weights.max()) >= 4.0
+    # the warp maps the canonical +x surface point onto the final live
+    # sphere (center moved 1.4,0.6,0 over the sequence)
+    from dynamicfusion_body_tpu.ops.dualquat import dq_transform_point
+    from dynamicfusion_body_tpu.models.warp_field import blend_at
+    from dynamicfusion_body_tpu.ops.knn import knn as knn_op
+
+    p = jnp.array([[25.0, 16.0, 16.0]])
+    _, nidx = knn_op(p, wf.node_pos, 3, valid=wf.active)
+    se3 = blend_at(wf, p, nidx)
+    wp = dq_transform_point(lw, dq_transform_point(se3, p))
+    cend = np.array(centers[-1])
+    sd = float(jnp.linalg.norm(wp[0] - jnp.asarray(cend)) - 9.0)
+    assert abs(sd) < 0.6, sd
