@@ -87,6 +87,7 @@ def main():
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
         solve_iters=3, gn_iters=8, cg_iters=16, tolerance=5.0,
         n_candidates=16,
+        approx_knn=jax.default_backend() == "tpu",
         use_pallas=(jax.default_backend() == "tpu"
                     and trilerp_bricks_supported((RES,) * 3, 8)),
         **caps, **live_caps,

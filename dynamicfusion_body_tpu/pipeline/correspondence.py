@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.knn import knn
 
 
-@partial(jax.jit, static_argnames=("k", "tolerance"))
+@partial(jax.jit, static_argnames=("k", "tolerance", "approx"))
 def closest_point_correspondences(
     warped_verts: jax.Array,   # (V,3) canonical verts warped into live frame
     warped_normals: jax.Array, # (V,3)
@@ -30,9 +30,10 @@ def closest_point_correspondences(
     live_mask: jax.Array,      # (L,) bool
     k: int,
     tolerance: float,
+    approx: bool = False,
 ):
     """Returns (corr (V,3), corr_valid (V,), best_cost (V,))."""
-    _, idx = knn(warped_verts, live_verts, k, valid=live_mask)
+    _, idx = knn(warped_verts, live_verts, k, valid=live_mask, approx=approx)
     cand = jnp.take(live_verts, idx, axis=0)  # (V,k,3)
     cost = jnp.abs(
         jnp.sum(warped_normals[:, None, :] * (warped_verts[:, None, :] - cand), axis=-1)

@@ -97,7 +97,7 @@ def init_canonical(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
         "tolerance", "brick", "n_candidates", "update_graph", "use_pallas",
-        "use_grid_corr",
+        "use_grid_corr", "approx_knn",
     ),
 )
 def fusion_frame(
@@ -124,6 +124,7 @@ def fusion_frame(
     update_graph: bool = True,
     use_pallas: bool = False,
     use_grid_corr: bool = False,
+    approx_knn: bool = False,
     canon_mesh=None,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
@@ -165,7 +166,8 @@ def fusion_frame(
                 grid_n=grid_n,
             )
         return closest_point_correspondences(
-            wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance
+            wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
+            approx=approx_knn,
         )
 
     # --- rigid presolve (core/fusion.py:350-364): residuals on node-field
