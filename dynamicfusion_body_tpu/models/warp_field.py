@@ -151,25 +151,6 @@ def brick_candidates(
     return idx
 
 
-def _voxel_knn_from_candidates(pos, cand_idx, wf: WarpField, k: int):
-    """Exact top-k per voxel within each voxel's candidate set.
-
-    pos: (N,3); cand_idx: (N,C). Returns (sel_idx (N,k), dists (N,k)).
-    Ties broken toward lower candidate rank (candidates are themselves
-    distance-ordered, matching KDTree lowest-index-ish behavior closely).
-    """
-    cpos = jnp.take(wf.node_pos, cand_idx, axis=0)
-    cact = jnp.take(wf.active, cand_idx, axis=0)
-    d2 = jnp.sum((pos[:, None, :] - cpos) ** 2, axis=-1)
-    big = jnp.float32(3.4e38)
-    d2 = jnp.where(cact, d2, big)
-    rank_tie = jnp.arange(cand_idx.shape[1], dtype=jnp.float32) * 1e-12
-    _, top = jax.lax.top_k(-(d2 + rank_tie[None, :]), k)
-    sel = jnp.take_along_axis(cand_idx, top, axis=1)
-    d2k = jnp.take_along_axis(d2, top, axis=1)
-    return sel, jnp.sqrt(d2k)
-
-
 @partial(
     jax.jit,
     static_argnames=(
