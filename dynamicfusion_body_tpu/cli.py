@@ -82,6 +82,9 @@ def cmd_sequence(args):
     )
     fus.write_canonical_mesh(args.out_dir, "original.obj")
     timer = PhaseTimer()
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     # like the reference harness, a failed or interrupted frame stops the
     # loop but still writes the accumulated mesh (test.py:133-138)
     for i, fname in enumerate(files[1 : args.max_frames + 1], start=1):
@@ -90,10 +93,10 @@ def cmd_sequence(args):
             print(f"Processing iteration: {i} ({fname})")
             with timer.phase("setupCorrespondences"):
                 fus.setupCorrespondences(vol, method=args.method)
-            with timer.phase("solve", sync=fus._warp.node_dq):
+            with timer.phase("solve", sync=fus._warp.node_dq, fetch=on_tpu):
                 fus.solve(regularization_weight=args.reg_weight,
                           method=args.method)
-            with timer.phase("updateTSDF", sync=fus.volume.values):
+            with timer.phase("updateTSDF", sync=fus.volume.values, fetch=on_tpu):
                 fus.updateTSDF()
             with timer.phase("update_graph"):
                 fus.update_graph()

@@ -10,7 +10,7 @@ the GPU kernel (SURVEY §2.4 flags the CPU variant as inconsistent).
 TPU design: the per-voxel loop becomes one fused XLA computation over the
 full (R,R,R) grid — the projection is affine in the voxel index so u,v,w are
 broadcasted iota arithmetic; the only gather is the 4-tap bilinear depth
-lookup. A Pallas variant lives in ops/fusion_pallas.py.
+lookup.
 """
 
 from __future__ import annotations

@@ -355,7 +355,9 @@ def update_graph(
     3. radius-subsample the unsupported set into free pool slots, DQB-
        initializing new node transforms from the existing field.
 
-    Returns the updated WarpField (same capacity; new nodes activated).
+    Returns (updated WarpField, n_dropped) — n_dropped is the number of
+    new nodes that did NOT fit in the pool (capacity saturation is loud:
+    callers should grow node_cap when it is > 0).
     """
     capacity = wf.capacity
     # 1. re-anchor
@@ -398,4 +400,4 @@ def update_graph(
         node_vert_idx=node_vert_idx,
         node_w=node_w,
         active=active,
-    )
+    ), new_count - take

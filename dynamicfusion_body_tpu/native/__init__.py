@@ -1,13 +1,15 @@
 """ctypes bindings for the native IO runtime (dfio.cc).
 
-Builds the shared library with g++ on first import (cached beside the
-source); every entry point has a pure-Python fallback in io/, so the
-package works even without a toolchain.
+Builds the shared library with g++ on first use; the binary is cached
+beside the source, keyed on a hash of the source (never committed, never
+trusted stale). Every entry point has a pure-Python fallback in io/, so
+the package works even without a toolchain.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,15 +18,23 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "dfio.cc")
 _LIB = os.path.join(_HERE, "libdfio.so")
+_STAMP = _LIB + ".srchash"
 
 _lib = None
 
 
-def _build():
+def _src_hash():
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(srchash):
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_STAMP, "w") as f:
+        f.write(srchash)
 
 
 def get_lib():
@@ -33,10 +43,13 @@ def get_lib():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.exists(_LIB)) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
-            _build()
+        srchash = _src_hash()
+        stamp = None
+        if os.path.exists(_STAMP):
+            with open(_STAMP) as f:
+                stamp = f.read().strip()
+        if (not os.path.exists(_LIB)) or stamp != srchash:
+            _build(srchash)
         lib = ctypes.CDLL(_LIB)
     except Exception:
         return None

@@ -47,7 +47,7 @@ def knn(
     parity-exact graph construction."""
     nq, npts = queries.shape[0], points.shape[0]
     if chunk is None:
-        chunk = max(256, min(8192 if approx else 8192, (1 << 27) // max(npts, 1)))
+        chunk = max(256, min(8192, (1 << 27) // max(npts, 1)))
     return _knn_jit(queries, points, min(k, npts), valid, chunk, approx)
 
 

@@ -7,11 +7,20 @@ Replaces the reference's skimage ``marching_cubes_lewiner`` calls
   one isosurface vertex (linear interpolation of the zero crossing), so
   vertices are deduplicated by construction, exactly like the classic
   shared-vertex MC output;
-* **two-stage compaction** — a cumsum ranks surface-crossing edges into a
-  fixed-capacity vertex buffer; active cells (0 < case < 255) are
-  compacted into a fixed-capacity cell list before triangle emission, so
-  the expensive per-triangle work only touches the ~1-2% of cells that
-  intersect the surface;
+* **no big elementwise gathers** — measured on v5e, elementwise gathers
+  run at ~9 ns/element regardless of table size, so every multi-million
+  element lookup is restructured:
+    - table lookups (tri counts per case) go through one-hot matmuls on
+      the MXU (~500 GB/s instead of ~0.1 G elem/s);
+    - rank→edge / face→cell compaction inverts the monotone cumsum with a
+      scatter + prefix-max (O(G+N) at HBM speed), then row-gathers each
+      query's cumsum window and counts entries below the query in-row —
+      replacing a 26-step bisection (26·N scattered gathers) with one row
+      gather + one fused compare-reduce;
+    - vertex normals exploit the on-edge structure: a vertex lies on a
+      lattice edge, so trilerp of the gradient degenerates to an exact
+      2-tap lerp of the endpoint gradients (6 small gathers instead of a
+      24-tap trilerp);
 * **static outputs** — (vert_cap,3) vertices / (face_cap,3) faces plus
   counts; downstream consumers mask by count (TPU requires static shapes).
 
@@ -32,23 +41,91 @@ import numpy as np
 from functools import partial
 
 from . import mc_tables
-from .interp import trilinear
-from .search import searchsorted1d
 
-_TRI_TABLE = jnp.asarray(mc_tables.TRI_TABLE)  # (256, 5, 3) local edge ids
-_TRI_COUNT = jnp.asarray(mc_tables.TRI_COUNT)  # (256,)
-_EDGE_BASE = jnp.asarray(mc_tables.EDGE_BASE)  # (12,) base corner index
-_EDGE_AXIS = jnp.asarray(mc_tables.EDGE_AXIS)  # (12,) axis
+_TRI15 = jnp.asarray(
+    np.maximum(mc_tables.TRI_TABLE.reshape(256, 15), 0).astype(np.float32)
+)  # (256, 15) local edge ids, -1 padding clamped to 0 (slots masked anyway)
+
+# TRI_COUNT (values 0..5) packed 8 entries x 3 bits per word -> 32 words.
+# 24-bit words are exact in f32, so a 32-wide one-hot f32 matmul recovers
+# the packed word and a shift/mask extracts the count — no 16.7M-element
+# gather from the 256-entry table (measured 166 ms; this path ~3 ms).
+_NTRI_PACKED = np.zeros(32, dtype=np.int64)
+for _c in range(256):
+    _NTRI_PACKED[_c >> 3] |= int(mc_tables.TRI_COUNT[_c]) << (3 * (_c & 7))
+_NTRI_PACKED = jnp.asarray(_NTRI_PACKED.astype(np.float32))
 
 # corner offset of base corner per local edge, plus its axis, as (12, 4)
-_EDGE_OFF = np.zeros((12, 4), dtype=np.int32)
+_EDGE_OFF = np.zeros((12, 4), dtype=np.float32)
 for _e in range(12):
     _b = int(mc_tables.EDGE_BASE[_e])
     _EDGE_OFF[_e, 0] = _b & 1
     _EDGE_OFF[_e, 1] = (_b >> 1) & 1
     _EDGE_OFF[_e, 2] = (_b >> 2) & 1
-    _EDGE_OFF[_e, 3] = int(mc_tables.EDGE_AXIS[_e])
+    _EDGE_OFF[_e, 3] = float(mc_tables.EDGE_AXIS[_e])
 _EDGE_OFF = jnp.asarray(_EDGE_OFF)
+
+
+def _onehot_rows(q, table, width, small: bool = True):
+    """Exact small-int table row lookup via one-hot matmul: (N,) int32 in
+    [0,L) × (L,W) f32 table of integers < 2^24 → (N,W) f32. bf16 one-hot
+    entries (0/1) are exact; accumulate f32. ``small``: table values < 256
+    (bf16-exact); otherwise use an f32 dot at HIGHEST precision."""
+    L = table.shape[0]
+    oh = (q[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16
+    )
+    t = table.reshape(L, width)
+    if small:
+        return jnp.dot(oh, t.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(oh.astype(jnp.float32), t,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _ntris_of_case(case_flat):
+    """Per-cell triangle count — packed one-hot lookup (see _NTRI_PACKED)."""
+    word = _onehot_rows(case_flat >> 3, _NTRI_PACKED, 1, small=False)[:, 0]
+    word = word.astype(jnp.int32)
+    return (word >> (3 * (case_flat & 7))) & 7
+
+
+def _inv_monotone(starts, valid, out_size):
+    """Invert a monotone group→start-slot map: for each output slot r,
+    the index of the (valid) group covering it, j[r] = max{g valid:
+    starts[g] <= r} (−1 below the first valid group). Scatter + prefix-max
+    — O(G + out) at HBM speed vs out·log(N) scattered bisection gathers."""
+    G = starts.shape[0]
+    idx = jnp.clip(jnp.where(valid, starts, out_size), 0, out_size)
+    arr = jnp.full((out_size + 1,), -1, jnp.int32)
+    arr = arr.at[idx].max(jnp.arange(G, dtype=jnp.int32))
+    return jax.lax.associative_scan(jnp.maximum, arr[:out_size])
+
+
+def _compact_map(csum, slots, S):
+    """Map output ranks → source indices in the (implicitly) compacted
+    order: result[r] = smallest i with inclusive-cumsum csum[i] == r+1.
+
+    Group the cumsum into rows of S; find each rank's group by inverting
+    the per-group start map, row-gather the group's cumsum window, and
+    count in-row entries below the query (≡ searchsorted-left).
+    """
+    n = csum.shape[0]
+    cap = slots.shape[0]
+    G = -(-n // S)
+    pad = G * S - n
+    csum_p = jnp.pad(csum, (0, pad), constant_values=2147483647) if pad else csum
+    c2d = csum_p.reshape(G, S)
+    gend = c2d[:, S - 1]
+    gex = jnp.concatenate([jnp.zeros((1,), csum.dtype), gend[:-1]])
+    gex = jnp.minimum(gex, csum[-1])  # padded tail groups stay invalid
+    gcnt = jnp.minimum(gend, csum[-1]) - gex
+    j = _inv_monotone(gex.astype(jnp.int32), gcnt > 0, cap)
+    j = jnp.maximum(j, 0)
+    rows = jnp.take(c2d, j, axis=0)  # (cap, S) — row gather, HBM speed
+    q = (slots + 1)[:, None]
+    off = jnp.sum((rows < q).astype(jnp.int32), axis=1)
+    return jnp.minimum(j * S + off, n - 1)
 
 
 @partial(
@@ -68,22 +145,28 @@ def marching_cubes(
     Returns dict with:
       verts   (vert_cap, 3) f32 — lattice coordinates (scaled by step_size)
       normals (vert_cap, 3) f32 — normalized -gradient (descent direction)
-      values  (vert_cap,)  f32 — trilerped volume value at the vertex
+      values  (vert_cap,)  f32 — volume value at the vertex (= level by
+                                  construction of the linear interpolation)
       faces   (face_cap, 3) i32 — vertex indices, CCW seen from outside
-      n_verts, n_faces      i32 — valid counts (capacity overflow ⇒ count
-                                  saturates at capacity; callers may check)
-    Counts are exact; slots >= count are zero-filled.
+      n_verts, n_faces      i32 — valid counts (saturated at capacity)
+      overflow              bool — True iff the surface exceeded vert_cap
+                                  or face_cap (output is then truncated:
+                                  faces touching dropped vertices are
+                                  zeroed; callers should grow caps)
+    Counts are exact below capacity; slots >= count are zero-filled.
     """
+    del cell_cap  # legacy knob: compaction no longer needs a cell list
     if step_size > 1:
         vol = vol[::step_size, ::step_size, ::step_size]
     X, Y, Z = vol.shape
-    if cell_cap is None:
-        cell_cap = face_cap
     inside = vol < level
+    nxyz = X * Y * Z
 
     # ---- vertices on crossing edges -------------------------------------
     # mask/t over the full (X,Y,Z,3) edge lattice; axis-a edges at index
-    # i are valid only when i < dim-1.
+    # i are valid only when i < dim-1. Kept as 1-D axis-major arrays —
+    # edge id = a·XYZ + ((i·Y + j)·Z + k); any (…,3) trailing dim would
+    # pad to the (8,128) tile (42× HBM).
     def axis_cross(a):
         sl_lo = [slice(None)] * 3
         sl_hi = [slice(None)] * 3
@@ -101,42 +184,30 @@ def marching_cubes(
             jnp.pad(jnp.where(cross, t, 0.0), pad),
         )
 
-    # TPU layout note: the edge lattice is kept as 1-D axis-major arrays —
-    # edge id = a·XYZ + ((i·Y + j)·Z + k). Any (…,3) trailing dim on the
-    # 3·XYZ-sized arrays would pad to the (8,128) tile (42× HBM).
-    #
-    # Compaction note: TPU scatters are near-serial, so compaction is done
-    # with GATHERS — for output slot r, binary-search (searchsorted) the
-    # inclusive cumsum of the mask for the r-th set element, then gather.
     crosses, ts = zip(*(axis_cross(a) for a in range(3)))
-    nxyz = X * Y * Z
-
     flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
-    csum = jnp.cumsum(flat_mask.astype(jnp.int32))  # inclusive
-    rank = csum - 1  # rank per edge (valid where mask)
-    n_verts = csum[-1]
+    csum = jnp.cumsum(flat_mask.astype(jnp.int32))  # inclusive; rank+1 at
+    n_verts = csum[-1]                              # crossing edges
 
-    # vertex r ← edge index e(r) = first position with csum == r+1
     vslots = jnp.arange(vert_cap, dtype=jnp.int32)
-    edge_of_vert = searchsorted1d(csum, vslots + 1, side="left")
-    edge_of_vert = jnp.minimum(edge_of_vert, 3 * nxyz - 1)
+    edge_of_vert = _compact_map(csum, vslots, S=256)
     vmask0 = vslots < n_verts
 
     ea = edge_of_vert // nxyz  # axis of each vertex's edge
     elin = edge_of_vert % nxyz
-    ei = (elin // (Y * Z)).astype(jnp.float32)
-    ej = ((elin // Z) % Y).astype(jnp.float32)
-    ek = (elin % Z).astype(jnp.float32)
+    ei = elin // (Y * Z)
+    ej = (elin // Z) % Y
+    ek = elin % Z
     t_all = jnp.concatenate([t.reshape(-1) for t in ts])
     et = jnp.take(t_all, edge_of_vert, axis=0)
-    vx = ei + jnp.where(ea == 0, et, 0.0)
-    vy = ej + jnp.where(ea == 1, et, 0.0)
-    vz = ek + jnp.where(ea == 2, et, 0.0)
+    vx = ei.astype(jnp.float32) + jnp.where(ea == 0, et, 0.0)
+    vy = ej.astype(jnp.float32) + jnp.where(ea == 1, et, 0.0)
+    vz = ek.astype(jnp.float32) + jnp.where(ea == 2, et, 0.0)
     verts = jnp.stack(
         [jnp.where(vmask0, c, 0.0) for c in (vx, vy, vz)], axis=-1
     )
 
-    # ---- cell cases + active-cell compaction ----------------------------
+    # ---- cell cases ------------------------------------------------------
     cx, cy, cz = X - 1, Y - 1, Z - 1
     case = jnp.zeros((cx, cy, cz), jnp.int32)
     for b in range(8):
@@ -146,57 +217,71 @@ def marching_cubes(
             << b
         )
     case_flat = case.reshape(-1)
-    ntris = jnp.take(_TRI_COUNT, case_flat, axis=0)
-    # cumulative triangle count over ALL cells (in cell order): face r maps
-    # straight to its cell by binary search — no intermediate compaction.
+    ntris = _ntris_of_case(case_flat)
     tsum = jnp.cumsum(ntris)  # inclusive
     n_faces = tsum[-1]
 
-    # ---- triangle emission (gather-only) ----------------------------------
+    # ---- triangle emission (gather-light) --------------------------------
     fslots = jnp.arange(face_cap, dtype=jnp.int32)
-    cell_of_face = searchsorted1d(tsum, fslots + 1, side="left")
-    cell_of_face = jnp.minimum(cell_of_face, case_flat.shape[0] - 1)
+    cell_of_face = _compact_map(tsum, fslots, S=128)
     fmask0 = fslots < n_faces
-    slot = fslots - (jnp.take(tsum, cell_of_face, axis=0)
-                     - jnp.take(ntris, cell_of_face, axis=0))
-    slot = jnp.clip(slot, 0, 4)
+    acase = jnp.take(case_flat, cell_of_face, axis=0)
+    ntri_f = _ntris_of_case(acase)
+    tsum_f = jnp.take(tsum, cell_of_face, axis=0)
+    slot = jnp.clip(fslots - (tsum_f - ntri_f), 0, 4)
 
     ci = cell_of_face // (cy * cz)
     cj = (cell_of_face // cz) % cy
     ck = cell_of_face % cz
-    acase = jnp.take(case_flat, cell_of_face, axis=0)
-    tri_flat = _TRI_TABLE.reshape(-1)  # (256·5·3,)
-    eoff = [_EDGE_OFF[:, c] for c in range(4)]
+
+    row15 = _onehot_rows(acase, _TRI15, 15)  # (face_cap, 15) f32 exact
+    w_iota = jnp.arange(15, dtype=jnp.int32)[None, :]
     fcols = []
     for c in range(3):
-        e_local = jnp.take(tri_flat, acase * 15 + slot * 3 + c, axis=0)
-        el = jnp.maximum(e_local, 0)  # -1 padding → any safe index
-        gi = ci + jnp.take(eoff[0], el, axis=0)
-        gj = cj + jnp.take(eoff[1], el, axis=0)
-        gk = ck + jnp.take(eoff[2], el, axis=0)
-        ga = jnp.take(eoff[3], el, axis=0)
+        sel = (w_iota == (slot * 3 + c)[:, None]).astype(jnp.float32)
+        el = jnp.sum(row15 * sel, axis=1).astype(jnp.int32)  # local edge id
+        off4 = _onehot_rows(el, _EDGE_OFF, 4)  # (face_cap, 4) exact
+        gi = ci + off4[:, 0].astype(jnp.int32)
+        gj = cj + off4[:, 1].astype(jnp.int32)
+        gk = ck + off4[:, 2].astype(jnp.int32)
+        ga = off4[:, 3].astype(jnp.int32)
         eid = ga * nxyz + (gi * Y + gj) * Z + gk
-        vidx = jnp.take(rank, eid, axis=0)
+        vidx = jnp.take(csum, eid, axis=0) - 1  # rank of the crossing edge
         fcols.append(jnp.where(fmask0, vidx, 0))
-    faces = jnp.stack(fcols, axis=-1)
+    # on vertex overflow the cumsum ranks keep counting past vert_cap —
+    # zero out any face touching a dropped vertex so exported faces never
+    # reference nonexistent vertex slots
+    face_ok = fmask0
+    for col in fcols:
+        face_ok = face_ok & (col < vert_cap)
+    faces = jnp.stack(
+        [jnp.where(face_ok, col, 0) for col in fcols], axis=-1
+    )
 
     # ---- normals + values ------------------------------------------------
-    grad = jnp.stack(jnp.gradient(vol), axis=-1)
-    gvals = jnp.stack(
-        [trilinear(grad[..., a], verts)[0] for a in range(3)], axis=-1
-    )
-    nrm = -gvals
+    # a vertex lies ON its lattice edge: trilinear interpolation of any
+    # volume there degenerates to a 2-tap lerp between the edge endpoints,
+    # and the interpolated volume value is `level` exactly by construction
+    # of t = (lo-level)/(lo-hi).
+    stride = jnp.where(ea == 0, Y * Z, jnp.where(ea == 1, Z, 1))
+    lin0 = elin
+    lin1 = jnp.minimum(elin + stride, nxyz - 1)
+    comps = []
+    for g in jnp.gradient(vol):  # three separate (X,Y,Z) — never stacked
+        gf = g.reshape(-1)
+        g0 = jnp.take(gf, lin0, axis=0)
+        g1 = jnp.take(gf, lin1, axis=0)
+        comps.append(g0 + et * (g1 - g0))
+    nrm = -jnp.stack(comps, axis=-1)
     nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     normals = nrm / jnp.maximum(nn, 1e-20)
-    values, _ = trilinear(vol, verts)
+    values = jnp.where(vmask0, jnp.float32(level), 0.0)
 
     if step_size > 1:
         verts = verts * step_size
 
-    vmask = jnp.arange(vert_cap) < n_verts
-    verts = jnp.where(vmask[:, None], verts, 0.0)
-    normals = jnp.where(vmask[:, None], normals, 0.0)
-    values = jnp.where(vmask, values, 0.0)
+    verts = jnp.where(vmask0[:, None], verts, 0.0)
+    normals = jnp.where(vmask0[:, None], normals, 0.0)
 
     return {
         "verts": verts,
@@ -205,4 +290,5 @@ def marching_cubes(
         "faces": faces,
         "n_verts": jnp.minimum(n_verts, vert_cap),
         "n_faces": jnp.minimum(n_faces, face_cap),
+        "overflow": (n_verts > vert_cap) | (n_faces > face_cap),
     }

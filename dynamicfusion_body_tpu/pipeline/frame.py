@@ -38,6 +38,9 @@ class FrameStats(NamedTuple):
     n_corr: jax.Array       # valid correspondences in round 0
     n_nodes: jax.Array      # active nodes after graph update
     n_verts: jax.Array      # canonical mesh verts after graph update
+    overflow: jax.Array     # bool: any mesh cap or node pool saturated
+                            # this frame (output silently truncated —
+                            # grow vert_cap/face_cap/node_cap)
 
 
 def _canonical_mesh(values, vert_cap, face_cap, step_size):
@@ -236,9 +239,10 @@ def fusion_frame(
     )
 
     # --- deformation-graph maintenance (201-239)
+    n_dropped = jnp.int32(0)
     if update_graph:
         mesh2, vmask2 = _canonical_mesh(values, vert_cap, face_cap, mc_step)
-        wf = WF.update_graph(wf, mesh2["verts"], vmask2, knn_k)
+        wf, n_dropped = WF.update_graph(wf, mesh2["verts"], vmask2, knn_k)
         mesh_out = mesh2
     else:
         mesh_out = mesh
@@ -249,5 +253,9 @@ def fusion_frame(
         n_corr=n_corr0,
         n_nodes=wf.num_active,
         n_verts=mesh_out["n_verts"],
+        overflow=(
+            mesh["overflow"] | mesh_out["overflow"] | live_mesh["overflow"]
+            | (n_dropped > 0)
+        ),
     )
     return values, weights, wf, lw_dq, stats, mesh_out

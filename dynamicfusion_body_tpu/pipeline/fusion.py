@@ -55,6 +55,19 @@ def _pad_to_multiple(vol, mult, fill):
     return jnp.pad(vol, pads, constant_values=fill), shape
 
 
+def _warn_mesh_overflow(mesh, vert_cap, face_cap):
+    """Capacity saturation is loud: a truncated isosurface silently corrupts
+    correspondences and exported meshes downstream."""
+    if bool(mesh["overflow"]):
+        import warnings
+
+        warnings.warn(
+            f"marching_cubes capacity overflow (vert_cap={vert_cap}, "
+            f"face_cap={face_cap}): surface truncated — grow the caps",
+            RuntimeWarning,
+        )
+
+
 class FusionDM:
     """Multi-view depth-map fusion (rigid). TPU-native replacement for both
     ``FusionDM`` and ``FusionDM_GPU``."""
@@ -199,6 +212,7 @@ class FusionDM:
             face_cap=self._face_cap,
             step_size=step_size,
         )
+        _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
         if tsdf is None:
             self._mesh = out
             if self._verbose:
@@ -401,6 +415,7 @@ class Fusion:
             face_cap=self._face_cap,
             step_size=step_size,
         )
+        _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
         if tsdf is None:
             self._mesh = out
             if self._verbose:
@@ -578,7 +593,17 @@ class Fusion:
         m = self._mesh
         vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
         n_before = int(self._warp.num_active)
-        self._warp = WF.update_graph(self._warp, m["verts"], vmask, self._knn)
+        self._warp, n_dropped = WF.update_graph(
+            self._warp, m["verts"], vmask, self._knn
+        )
+        if int(n_dropped) > 0:
+            import warnings
+
+            warnings.warn(
+                f"deformation-node pool saturated: {int(n_dropped)} new "
+                f"nodes dropped (node_cap={self._warp.capacity}); grow "
+                "node_cap", RuntimeWarning,
+            )
         self._refresh_neighbors()
         if self._verbose:
             n_after = int(self._warp.num_active)

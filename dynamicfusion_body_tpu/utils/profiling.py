@@ -25,15 +25,22 @@ class PhaseTimer:
         self.counts = defaultdict(int)
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync=None):
+    def phase(self, name: str, sync=None, fetch=False):
         """Context manager; pass ``sync=array`` to block on a device value
-        before stopping the clock."""
+        before stopping the clock. ``fetch=True`` forces completion with a
+        host fetch of one element instead — ``block_until_ready`` can
+        return early on remote-attached (axon-tunneled) TPUs, under-
+        reporting device time; use fetch there."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                if fetch:
+                    jnp = jax.numpy
+                    float(jnp.ravel(jax.tree_util.tree_leaves(sync)[0])[0])
+                else:
+                    jax.block_until_ready(sync)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -114,7 +114,10 @@ def test_update_graph_inserts_unsupported(rng):
     n0 = int(wf.num_active)
     far = verts0 + np.array([10.0, 0, 0], np.float32)
     allv = np.concatenate([verts0, far]).astype(np.float32)
-    wf2 = W.update_graph(wf, jnp.array(allv), jnp.ones(len(allv), bool), k=3)
+    wf2, n_dropped = W.update_graph(
+        wf, jnp.array(allv), jnp.ones(len(allv), bool), k=3
+    )
+    assert int(n_dropped) == 0
     n1 = int(wf2.num_active)
     assert n1 > n0
     # new nodes anchor in the far cluster
