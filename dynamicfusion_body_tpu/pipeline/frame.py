@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..models import warp_field as WF
 from ..ops.marching_cubes import marching_cubes
-from ..solvers.nonrigid import make_reg_pairs, nonrigid_energy, solve_nonrigid
+from ..solvers.nonrigid import make_reg_pairs, solve_nonrigid
 from ..solvers.rigid import solve_rigid
 from .correspondence import (
     closest_point_correspondences,
@@ -202,10 +202,9 @@ def fusion_frame(
             data_args = (mesh["verts"], mesh["normals"], corr_, cval_,
                          nbr_idx, blend_wts)
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pmask0)
-            cb = nonrigid_energy(
-                node_dq, data_args, reg_args, lw_, robust=False
-            )
-            new_dq, _, ca = solve_nonrigid(
+            # cb = the raw pre-solve cost (the reference prints raw cost
+            # before and huberized cost after, core/fusion.py:375-398)
+            new_dq, cb, _, ca = solve_nonrigid(
                 node_dq, *data_args, *reg_args, lw_,
                 gn_iters=gn_iters, cg_iters=cg_iters,
             )

@@ -36,7 +36,7 @@ from ..ops import (
     estimate_alignment,
 )
 from ..ops.marching_cubes import marching_cubes
-from ..solvers.nonrigid import make_reg_pairs, nonrigid_energy, solve_nonrigid
+from ..solvers.nonrigid import make_reg_pairs, solve_nonrigid
 from ..solvers.rigid import solve_rigid
 from ..io.mesh_io import save_obj
 from ..io.warpfield_io import save_warp_field
@@ -528,20 +528,14 @@ class Fusion:
                 self._corr_valid, self._nbr_idx, self._blend_wts,
             )
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
-            cost_before = float(
-                nonrigid_energy(
-                    self._warp.node_dq, data_args, reg_args, self._lw,
-                    robust=False,
-                )
-            )
-            if self._verbose:
-                print("Cost before optimization:", cost_before)
-                print("Current regularization weight:", rw)
-
-            new_dq, _, cost_after = solve_nonrigid(
+            new_dq, cost_before, _, cost_after = solve_nonrigid(
                 self._warp.node_dq, *data_args, *reg_args, self._lw,
                 gn_iters=8, cg_iters=32,
             )
+            cost_before = float(cost_before)
+            if self._verbose:
+                print("Cost before optimization:", cost_before)
+                print("Current regularization weight:", rw)
             self._warp = self._warp.replace(node_dq=new_dq)
             cost_after = float(cost_after)
             if self._verbose:

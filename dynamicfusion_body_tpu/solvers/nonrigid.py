@@ -19,6 +19,16 @@ pass — not 570 residual sweeps), and the normal equations are never
 materialized: JᵀWJ·p is evaluated block-wise with gathers + segment-sums
 inside a Jacobi-preconditioned CG. Robustification = IRLS with scipy-style
 huber weights (f_scale=1), matching ``loss='huber'``.
+
+The GN loop carries the current energy through the scan (one residual pass
+per step, none at exit) and deactivates — genuinely skipping the remaining
+iterations via ``lax.cond`` — once the relative cost reduction drops below
+``ftol``, mirroring scipy's ftol termination (the reference passes
+ftol=1e-5, core/fusion.py:391).
+
+The same GN core runs single-chip and under ``shard_map`` — the sharded
+variant (parallel/sharded.py) passes a ``psum`` hook applied to every
+data-term reduction; the solver math exists once.
 """
 
 from __future__ import annotations
@@ -83,12 +93,14 @@ def reg_residual_one(dq_i, dq_j, vj, scale):
     return scale * (dq_transform_point(dq_i, vj) - dq_transform_point(dq_j, vj))
 
 
-def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
-    """Total cost 0.5·Σρ(r²), scipy-style huber with f_scale=1.
+def _rho(z):
+    # scipy huber with f_scale=1: rho(z) = z if z<=1 else 2√z − 1; reg rows
+    # are 3 scalar residuals (the reference appends the diff components
+    # individually), so rho applies per component.
+    return jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, 1.0)) - 1.0)
 
-    ``robust=False`` gives the raw 0.5·Σr² the reference prints as
-    "cost before optimization" (core/fusion.py:375-376).
-    """
+
+def _residuals(node_dq, data_args, reg_args, lw_dq):
     verts, normals, corrs, corr_mask, nbr_idx, blend_wts = data_args
     pair_i, pair_j, pair_v, pair_scale, pair_mask = reg_args
     dqs_v = jnp.take(node_dq, nbr_idx, axis=0)
@@ -103,44 +115,53 @@ def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
         pair_scale,
     )
     r_r = jnp.where(pair_mask[:, None], r_r, 0.0)
-
-    def rho(z):
-        # scipy huber with f_scale=1: rho(z) = z if z<=1 else 2√z − 1;
-        # reg rows are 3 scalar residuals (the reference appends the diff
-        # components individually), so rho applies per component.
-        if not robust:
-            return z
-        return jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, 1.0)) - 1.0)
-
-    return 0.5 * (jnp.sum(rho(r_d**2)) + jnp.sum(rho(r_r**2)))
+    return r_d, r_r
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "damping"))
-def solve_nonrigid(
+def _energies(r_d, r_r, psum):
+    """(raw, huberized) total costs from residuals. The data term may be
+    vertex-sharded — ``psum`` folds it over the mesh; the reg term is
+    replicated."""
+    zd, zr = r_d**2, r_r**2
+    raw = 0.5 * (psum(jnp.sum(zd)) + jnp.sum(zr))
+    rob = 0.5 * (psum(jnp.sum(_rho(zd))) + jnp.sum(_rho(zr)))
+    return raw, rob
+
+
+def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
+    """Total cost 0.5·Σρ(r²), scipy-style huber with f_scale=1.
+
+    ``robust=False`` gives the raw 0.5·Σr² the reference prints as
+    "cost before optimization" (core/fusion.py:375-376).
+    """
+    r_d, r_r = _residuals(node_dq, data_args, reg_args, lw_dq)
+    raw, rob = _energies(r_d, r_r, lambda x: x)
+    return rob if robust else raw
+
+
+def gn_solve_core(
     node_dq,
-    verts,
-    normals,
-    corrs,
-    corr_mask,
-    nbr_idx,
-    blend_wts,
-    pair_i,
-    pair_j,
-    pair_v,
-    pair_scale,
-    pair_mask,
+    data_args,
+    reg_args,
     lw_dq,
-    gn_iters: int = 8,
-    cg_iters: int = 32,
-    damping: float = 1e-4,
+    gn_iters: int,
+    cg_iters: int,
+    damping: float,
+    ftol: float,
+    psum,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
-    Returns (node_dq, cost_before, cost_after).
+    ``psum`` is applied to every data-term reduction (identity single-chip;
+    ``lax.psum`` over the vertex-sharded mesh axis in parallel/sharded.py —
+    the reg term and all CG state are replicated there).
+
+    Returns (node_dq, cost0_raw, cost0, cost1) — cost0/cost1 huberized,
+    cost0_raw the raw 0.5·Σr² the reference prints before optimizing.
     """
+    verts, normals, corrs, corr_mask, nbr_idx, blend_wts = data_args
+    pair_i, pair_j, pair_v, pair_scale, pair_mask = reg_args
     M = node_dq.shape[0]
-    data_args = (verts, normals, corrs, corr_mask, nbr_idx, blend_wts)
-    reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
 
     def one_data(dqs_k, vert, normal, corr, wts_k, lw):
         f = lambda d: data_residual_one(d, vert, normal, corr, wts_k, lw)
@@ -152,7 +173,8 @@ def solve_nonrigid(
         Jj = jax.jacfwd(reg_residual_one, argnums=1)(di, dj, v, s)
         return r, Ji, Jj
 
-    cost0 = nonrigid_energy(node_dq, data_args, reg_args, lw_dq)
+    r_d0, r_r0 = _residuals(node_dq, data_args, reg_args, lw_dq)
+    cost0_raw, cost0 = _energies(r_d0, r_r0, psum)
 
     nbr_flat0 = nbr_idx.reshape(-1)
     red_nbr = make_sorted_reducer(nbr_flat0, M)
@@ -163,8 +185,9 @@ def solve_nonrigid(
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
-    # multiply HBM traffic ~40x across the 32 CG iterations.
-    def gn_step(x, _):
+    # multiply HBM traffic ~40x across the CG iterations.
+    def run_step(args):
+        x, e = args
         dqs_v = jnp.take(x, nbr_idx, axis=0)
         r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
             dqs_v, verts, normals, corrs, blend_wts, lw_dq
@@ -198,7 +221,7 @@ def solve_nonrigid(
             return jnp.broadcast_to(v[:, None], (V, k)).reshape(N)
 
         # rhs = -JᵀW r, channel-major (8, M)
-        g_d = red_nbr(Jd8 * rep(w_d * r_d)[None, :])
+        g_d = psum(red_nbr(Jd8 * rep(w_d * r_d)[None, :]))
         g_r = red_pi(reg_fold(Ji24, w_r3 * r_r3)) + red_pj(
             reg_fold(Jj24, w_r3 * r_r3)
         )
@@ -215,7 +238,7 @@ def solve_nonrigid(
                 axis=0,
             )
 
-        blk = red_nbr(outer64(Jd8, rep(w_d)))  # (64, M)
+        blk = psum(red_nbr(outer64(Jd8, rep(w_d))))  # (64, M)
         for c in range(3):
             blk = blk + red_pi(
                 outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
@@ -236,7 +259,7 @@ def solve_nonrigid(
             pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
             prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
             Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
-            back_d = red_nbr(Jd8 * rep(w_d * Jp_d)[None, :])
+            back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
 
             pgi = jnp.take(p8, pair_i, axis=1)            # (8, P)
             pgj = jnp.take(p8, pair_j, axis=1)
@@ -270,13 +293,61 @@ def solve_nonrigid(
         delta8 = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
 
         x_new = x + delta8.T
-        better = nonrigid_energy(x_new, data_args, reg_args, lw_dq) <= \
-            nonrigid_energy(x, data_args, reg_args, lw_dq)
-        return jnp.where(better, x_new, x), None
+        r_d1, r_r1 = _residuals(x_new, data_args, reg_args, lw_dq)
+        _, e_new = _energies(r_d1, r_r1, psum)
+        better = e_new <= e
+        return jnp.where(better, x_new, x), jnp.where(better, e_new, e)
 
-    x, _ = jax.lax.scan(gn_step, node_dq, None, length=gn_iters)
-    cost1 = nonrigid_energy(x, data_args, reg_args, lw_dq)
-    return x, cost0, cost1
+    def gn_step(carry, _):
+        x, e, act = carry
+        x2, e2 = jax.lax.cond(
+            act, run_step, lambda a: a, (x, e)
+        )
+        # scipy-style ftol termination: stop (skip remaining iterations)
+        # once the relative cost reduction falls below ftol — a rejected
+        # step (e2 == e) terminates too.
+        act = act & ((e - e2) > ftol * e)
+        return (x2, e2, act), None
+
+    (x, cost1, _), _ = jax.lax.scan(
+        gn_step, (node_dq, cost0, jnp.bool_(True)), None, length=gn_iters
+    )
+    return x, cost0_raw, cost0, cost1
+
+
+@partial(
+    jax.jit, static_argnames=("gn_iters", "cg_iters", "damping", "ftol")
+)
+def solve_nonrigid(
+    node_dq,
+    verts,
+    normals,
+    corrs,
+    corr_mask,
+    nbr_idx,
+    blend_wts,
+    pair_i,
+    pair_j,
+    pair_v,
+    pair_scale,
+    pair_mask,
+    lw_dq,
+    gn_iters: int = 8,
+    cg_iters: int = 32,
+    damping: float = 1e-4,
+    ftol: float = 1e-6,
+):
+    """Single-chip non-rigid GN solve.
+
+    Returns (node_dq, cost0_raw, cost0, cost1): the raw and huberized
+    initial costs and the final huberized cost.
+    """
+    data_args = (verts, normals, corrs, corr_mask, nbr_idx, blend_wts)
+    reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
+    return gn_solve_core(
+        node_dq, data_args, reg_args, lw_dq,
+        gn_iters, cg_iters, damping, ftol, lambda x: x,
+    )
 
 
 def make_reg_pairs(node_vert_idx, nbr_idx, node_w, active, rw):

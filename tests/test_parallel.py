@@ -86,7 +86,7 @@ def test_solve_nonrigid_sharded_matches_single(rng):
         wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active, jnp.float32(0.3))
     pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
 
-    want_x, want_c0, want_c1 = solve_nonrigid(
+    want_x, want_c0_raw, want_c0, want_c1 = solve_nonrigid(
         wf.node_dq, jnp.array(verts), jnp.array(normals), jnp.array(corrs),
         jnp.ones(n_verts, bool), jnp.array(nbr), jnp.array(wts),
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
@@ -94,7 +94,7 @@ def test_solve_nonrigid_sharded_matches_single(rng):
 
     vs = NamedSharding(mesh, P(VOXEL_AXIS))
     solver = sharded.solve_nonrigid_sharded(mesh, gn_iters=3, cg_iters=12)
-    got_x, got_c0, got_c1 = solver(
+    got_x, got_c0_raw, got_c0, got_c1 = solver(
         wf.node_dq,
         jax.device_put(jnp.array(verts), vs),
         jax.device_put(jnp.array(normals), vs),
@@ -105,5 +105,6 @@ def test_solve_nonrigid_sharded_matches_single(rng):
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw)
 
     np.testing.assert_allclose(float(got_c0), float(want_c0), rtol=1e-5)
+    np.testing.assert_allclose(float(got_c0_raw), float(want_c0_raw), rtol=1e-5)
     np.testing.assert_allclose(float(got_c1), float(want_c1), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x), atol=5e-4)

@@ -102,10 +102,12 @@ def test_nonrigid_recovers_smooth_motion(rng):
     reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
     c0 = float(nonrigid_energy(x0, data_args, reg_args, lw))
 
-    x, cost0, cost1 = solve_nonrigid(
+    x, cost0_raw, cost0, cost1 = solve_nonrigid(
         x0, *data_args, pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
         gn_iters=12, cg_iters=48)
     assert abs(float(cost0) - c0) < 1e-5
+    c0_raw = float(nonrigid_energy(x0, data_args, reg_args, lw, robust=False))
+    assert abs(float(cost0_raw) - c0_raw) < 1e-5
     assert float(cost1) < 0.02 * c0, (float(cost0), float(cost1))
 
     # warped vertices land on the target planes (point-to-plane energy
@@ -132,7 +134,7 @@ def test_nonrigid_inactive_nodes_untouched(rng):
         wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active,
         jnp.float32(0.1))
     pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
-    x, _, _ = solve_nonrigid(
+    x, _, _, _ = solve_nonrigid(
         wf.node_dq, jnp.array(verts), jnp.array(normals), jnp.array(corrs),
         jnp.ones(len(verts), bool), jnp.array(nbr), jnp.array(wts),
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,

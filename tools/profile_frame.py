@@ -131,8 +131,11 @@ def main():
     w = base + offs
     wx = jnp.asarray(w[..., 0]); wy = jnp.asarray(w[..., 1])
     wz = jnp.asarray(w[..., 2])
-    tri = jax.jit(lambda: trilerp_bricks(live, wx, wy, wz))
-    timeit("trilerp_pallas_16.7M", tri, lambda o: f1(o[0]))
+    # NB: coords must be jit ARGS — baked as constants they overflow the
+    # axon remote-compile request body (HTTP 413).
+    tri = jax.jit(trilerp_bricks)
+    timeit("trilerp_pallas_16.7M", lambda: tri(live, wx, wy, wz),
+           lambda o: f1(o[0]))
 
     # knn/blend phase alone (update_tsdf with the trilerp swapped for a
     # no-op is hard to isolate; approximate as full - trilerp)
