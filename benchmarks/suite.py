@@ -192,11 +192,11 @@ def config4():
             tdist=tdist, brick=8, n_candidates=16, use_pallas=use_pallas,
         )
 
-    v, w = f()
+    v, w, _ = f()
     x = float(v[0, 0, 0])
     t0 = time.time()
     for _ in range(3):
-        v, w = f()
+        v, w, _ = f()
         x = float(v[0, 0, 0])
     _emit("config4_nonrigid_update_256", (time.time() - t0) / 3 * 1000,
           {"pallas": use_pallas})
@@ -211,7 +211,79 @@ def config5():
         "bench.py")], check=True)
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+REF_MESH = "/root/reference/meshes/original.obj"
+
+
+def _sample_surface(verts, faces, n, seed=0):
+    """~n points uniformly on the triangle surface (area-weighted)."""
+    rng = np.random.RandomState(seed)
+    tri = verts[faces]  # (F, 3, 3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+    )
+    p = area / area.sum()
+    fi = rng.choice(len(faces), size=n, p=p)
+    u, v = rng.rand(n), rng.rand(n)
+    flip = u + v > 1
+    u, v = np.where(flip, 1 - u, u), np.where(flip, 1 - v, v)
+    t = tri[fi]
+    return (
+        t[:, 0]
+        + u[:, None] * (t[:, 1] - t[:, 0])
+        + v[:, None] * (t[:, 2] - t[:, 0])
+    ).astype(np.float32)
+
+
+def config6():
+    """Accuracy gate (BASELINE config 1 as written): render the reference's
+    own result mesh ``meshes/original.obj`` (the one real artifact,
+    SURVEY §2 #16) from 8 views, fuse rigidly at 64³ and 256³, extract the
+    surface, and report the mean distance of extracted vertices to the
+    input surface — in world units and voxel units."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from scipy.spatial import cKDTree
+
+    from dynamicfusion_body_tpu.io.mesh_io import load_obj, regularize_mesh
+    from dynamicfusion_body_tpu.pipeline.fusion import FusionDM
+
+    if not os.path.exists(REF_MESH):
+        print(json.dumps({"metric": "config6_mesh_vertex_error",
+                          "error": f"missing {REF_MESH}"}))
+        return
+    verts, faces, _ = load_obj(REF_MESH)
+    verts = np.asarray(regularize_mesh(jnp.asarray(verts)))  # ~1.8 m tall
+    K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
+    depths, lws = _render_views(verts, faces, K, n_views=8, h=512, w=512)
+    surf = _sample_surface(verts, faces, 300_000)
+    tree = cKDTree(surf)
+
+    for res, caps in ((64, (1 << 15, 1 << 16)), (256, (1 << 17, 1 << 18))):
+        fus = FusionDM(
+            8.0 / res * 1.3, K, tsdf_res=res, vert_cap=caps[0],
+            face_cap=caps[1],
+        )
+        fus.compute_live_tsdf(depths, lws, UseAutoAlignment=True)
+        fus.marching_cubes()  # caches the canonical mesh, reference-style
+        m = fus._mesh
+        nv = int(m["n_verts"])
+        gv = np.asarray(m["verts"])[:nv]  # grid coords
+        ind = np.asarray(fus._IND)
+        wv = gv @ ind[:3, :3].T + ind[:3, 3]  # world coords
+        d, _ = tree.query(wv, k=1)
+        voxel = float(ind[0, 0])  # grid scale (isotropic)
+        print(json.dumps({
+            "metric": f"config6_mesh_vertex_error_{res}",
+            "value": round(float(np.mean(d) / voxel), 3),
+            "unit": "voxels",
+            "mean_err_world": round(float(np.mean(d)), 5),
+            "p95_err_voxels": round(float(np.percentile(d, 95) / voxel), 3),
+            "n_verts": nv,
+        }))
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def main():

@@ -59,12 +59,23 @@ def _upsample_nn(x, ratio=2):
 
 
 class DHBC(nn.Module):
-    """Input (B,H,W,1) normalized depth; output (B,H,W,16) descriptors."""
+    """Input (B,H,W,1) depth8 (0..255 floats, the reference's feed format,
+    core/sdf.py:135-136); output (B,H,W,16) descriptors.
+
+    ``normalize_input`` rescales to [-0.5, 0.5] inside the module — the
+    reference feeds raw 0..255 into a checkpoint trained at that scale,
+    but training from scratch needs unit-scale inputs (raw scale leaves
+    the net stuck at the majority class). Weight shapes are unchanged, so
+    a converted reference checkpoint still loads (set it to False then).
+    """
 
     features: int = 16
+    normalize_input: bool = True
 
     @nn.compact
     def __call__(self, x):
+        if self.normalize_input:
+            x = x * (1.0 / 255.0) - 0.5
         conv1 = _Conv(96, 11, 4)(x)        # H/4
         pool1 = _maxpool(conv1)            # H/8
         conv2 = _Conv(256, 5)(pool1)       # H/8
@@ -155,12 +166,16 @@ def make_train_step(model, learning_rate=1e-4, n_classes=500):
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             params, head, depth, labels
         )
-        updates, opt_state = tx.update(grads[0], opt_state, params)
-        params = optax.apply_updates(params, updates)
-        head = head - learning_rate * grads[1]
-        return params, head, opt_state, loss
+        # one optimizer over (features, head) jointly — a plain-SGD head
+        # next to an Adam feature net stalls at its init, logits stay ~0,
+        # and the loss plateaus at ln(n_classes)
+        tree = {"p": params, "h": head}
+        gtree = {"p": grads[0], "h": grads[1]}
+        updates, opt_state = tx.update(gtree, opt_state, tree)
+        tree = optax.apply_updates(tree, updates)
+        return tree["p"], tree["h"], opt_state, loss
 
-    def init_opt(params):
-        return tx.init(params)
+    def init_opt(params, head):
+        return tx.init({"p": params, "h": head})
 
     return step, init_opt

@@ -154,7 +154,8 @@ def brick_candidates(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "tdist", "wmax", "brick", "n_candidates", "use_pallas"
+        "k", "tdist", "wmax", "brick", "n_candidates", "use_pallas",
+        "pallas_interpret", "pallas_precise",
     ),
 )
 def update_tsdf_nonrigid(
@@ -170,6 +171,8 @@ def update_tsdf_nonrigid(
     n_candidates: int = 8,
     x_offset=0,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    pallas_precise: bool = False,
 ):
     """Non-rigid canonical TSDF fusion — the reference's hottest loop
     (core/fusion.py:153-198) as a fused, brick-chunked device computation.
@@ -178,6 +181,11 @@ def update_tsdf_nonrigid(
     trilerp live TSDF → running average with wi = mean node distance and
     the wi_t==0 → wi substitution. Processes one x-slab of ``brick`` planes
     per lax.map step to bound transient memory.
+
+    Returns (values, weights, esc_dropped): esc_dropped counts in-volume
+    samples the Pallas path could not fuse this frame (warp spread beyond
+    both the per-brick VMEM box AND the fixup capacity — loud, not
+    silent); always 0 on the XLA gather path.
 
     TPU layout note: all per-voxel intermediates are 1-D (N,) component
     arrays (structure-of-arrays) — (N,3)/(N,C,3) shapes would pad their
@@ -277,13 +285,51 @@ def update_tsdf_nonrigid(
     if use_pallas:
         from ..ops.trilerp_pallas import trilerp_bricks
 
-        tsdf_l, valid = trilerp_bricks(live, wx, wy, wz)
+        # brick rows are z-fastest, so groups of ``g`` consecutive rows
+        # are z-runs sharing one (x, y) footprint — the kernel's one-DMA-
+        # per-group contract; g must divide the brick-grid z extent
+        g = next(g for g in (16, 8, 4, 2, 1) if nbz % g == 0)
+        tsdf_l, valid, escaped = trilerp_bricks(
+            live, wx, wy, wz, group=g, interpret=pallas_interpret,
+            precise=pallas_precise,
+        )
+        # Samples inside the live volume whose brick warped beyond the
+        # kernel's VMEM box (differential warp > ~14 voxels across one
+        # 8-cube brick) are re-sampled exactly through the XLA gather
+        # path — up to ESC_CAP per frame; any beyond that are dropped
+        # and COUNTED (esc_dropped) instead of silently skipped.
+        n_esc = jnp.sum(escaped.astype(jnp.int32))
+        ESC_CAP = 1 << 16
+
+        def fixup(args):
+            tl, vl = args
+            from ..ops.marching_cubes import _compact_map
+
+            csum = jnp.cumsum(escaped.reshape(-1).astype(jnp.int32))
+            slots = jnp.arange(ESC_CAP, dtype=jnp.int32)
+            src = _compact_map(csum, slots, S=256)
+            smask = slots < n_esc
+            fx = jnp.take(wx.reshape(-1), src, axis=0)
+            fy = jnp.take(wy.reshape(-1), src, axis=0)
+            fz = jnp.take(wz.reshape(-1), src, axis=0)
+            vals_fix, ok_fix = _trilinear_c(live, fx, fy, fz)
+            # masked slots scatter out of bounds → dropped
+            tgt = jnp.where(smask, src, NB * V)
+            tl = tl.reshape(-1).at[tgt].set(vals_fix, mode="drop")
+            vl = vl.reshape(-1).at[tgt].set(ok_fix, mode="drop")
+            return tl.reshape(NB, V), vl.reshape(NB, V)
+
+        tsdf_l, valid = jax.lax.cond(
+            n_esc > 0, fixup, lambda a: a, (tsdf_l, valid)
+        )
+        esc_dropped = jnp.maximum(n_esc - ESC_CAP, 0)
     else:
         tsdf_l, valid = _trilinear_c(
             live, wx.reshape(-1), wy.reshape(-1), wz.reshape(-1)
         )
         tsdf_l = tsdf_l.reshape(NB, V)
         valid = valid.reshape(NB, V)
+        esc_dropped = jnp.int32(0)
 
     def vol_to_bricks(vol3):
         t = vol3.reshape(nbx, brick, nby, brick, nbz, brick)
@@ -302,7 +348,7 @@ def update_tsdf_nonrigid(
     new_wts = jnp.minimum(wi + wi_t, wmax)
     out_v = vol_from_bricks(jnp.where(upd, new_vals, vals))
     out_w = vol_from_bricks(jnp.where(upd, new_wts, wts))
-    return out_v, out_w
+    return out_v, out_w, esc_dropped
 
 
 def _trilinear_c(volume, px, py, pz):

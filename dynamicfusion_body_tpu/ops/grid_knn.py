@@ -34,10 +34,15 @@ def grid_knn(
     cap_per_cell: int = 256,
     grid_n: int = 32,
 ):
-    """Returns (dists (Q,k), idx (Q,k) int32, found (Q,k) bool).
+    """Returns (dists (Q,k), idx (Q,k) int32, found (Q,k) bool,
+    overflow () bool).
 
     Coordinates are assumed ≥ 0 (voxel-lattice space). ``grid_n`` cells per
     axis must cover the coordinate range (grid_n·cell ≥ max coord).
+    ``overflow`` is True when some cell holds more than ``cap_per_cell``
+    points — its excess points were not candidates, so the true nearest
+    neighbor may have been missed; callers should raise cap_per_cell or
+    fall back to the exact path.
     """
     Q = queries.shape[0]
     P = points.shape[0]
@@ -121,4 +126,5 @@ def grid_knn(
     d = jnp.stack(best_d, axis=1)
     i = jnp.stack(best_i, axis=1)
     found = d < big
-    return jnp.sqrt(jnp.where(found, d, big)), i, found
+    overflow = jnp.any((ends - starts) > cap_per_cell)
+    return jnp.sqrt(jnp.where(found, d, big)), i, found, overflow

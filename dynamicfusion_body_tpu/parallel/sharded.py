@@ -102,10 +102,11 @@ def update_tsdf_nonrigid_sharded(
     def local(values, weights, live, wf, lw_dq):
         idx = jax.lax.axis_index(VOXEL_AXIS)
         x0 = idx * values.shape[0]
-        return update_tsdf_nonrigid(
+        v, w, esc = update_tsdf_nonrigid(
             values, weights, live, wf, lw_dq, k, tdist, wmax,
             brick=brick, n_candidates=n_candidates, x_offset=x0,
         )
+        return v, w, jax.lax.psum(esc, VOXEL_AXIS)
 
     wf_spec = WarpField(
         node_pos=P(), node_dq=P(), node_w=P(), node_vert_idx=P(),
@@ -116,7 +117,7 @@ def update_tsdf_nonrigid_sharded(
             local,
             mesh=mesh,
             in_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS), P(), wf_spec, P()),
-            out_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS)),
+            out_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS), P()),
         )
     )
 
@@ -127,6 +128,8 @@ def solve_nonrigid_sharded(
     cg_iters: int = 32,
     damping: float = 1e-4,
     ftol: float = 1e-6,
+    cg_rtol: float = 0.0,
+    dense_pairs: bool = False,
 ):
     """Vertex-sharded non-rigid GN: data residuals/Jacobians are computed on
     each device's vertex shard, JᵀWJ/JᵀWr partials are psum'd over the mesh;
@@ -145,6 +148,7 @@ def solve_nonrigid_sharded(
             node_dq, data_args, reg_args, lw_dq,
             gn_iters, cg_iters, damping, ftol,
             lambda x: jax.lax.psum(x, VOXEL_AXIS),
+            cg_rtol=cg_rtol, dense_pairs=dense_pairs,
         )
 
     return jax.jit(

@@ -72,10 +72,12 @@ def closest_point_correspondences_grid(
     """Grid-hash variant of closest_point_correspondences for voxel-lattice
     coordinates: exact within a ±cell/2 neighborhood, and queries with no
     neighbor in range are invalid (the exact path would return a far match
-    that the tolerance prune rejects anyway)."""
+    that the tolerance prune rejects anyway). Queries whose cells
+    overflowed the per-cell candidate cap are marked INVALID rather than
+    silently matched against a truncated candidate set."""
     from ..ops.grid_knn import grid_knn
 
-    d, idx, found = grid_knn(
+    d, idx, found, overflow = grid_knn(
         warped_verts, live_verts, k, valid=live_mask, cell=cell,
         grid_n=grid_n,
     )
@@ -96,7 +98,7 @@ def closest_point_correspondences_grid(
         cand[:, 0],
     )
     best_cost = jnp.where(use_min, min_cost, 1.0)
-    valid = vert_mask & (best_cost <= tolerance) & found[:, 0]
+    valid = vert_mask & (best_cost <= tolerance) & found[:, 0] & ~overflow
     return best_pt, valid, best_cost
 
 

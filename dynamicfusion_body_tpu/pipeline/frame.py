@@ -206,7 +206,7 @@ def fusion_frame(
             # before and huberized cost after, core/fusion.py:375-398)
             new_dq, cb, _, ca = solve_nonrigid(
                 node_dq, *data_args, *reg_args, lw_,
-                gn_iters=gn_iters, cg_iters=cg_iters,
+                gn_iters=gn_iters, cg_iters=cg_iters, dense_pairs=True,
             )
             return new_dq, cb, ca
 
@@ -232,7 +232,7 @@ def fusion_frame(
     wf = wf.replace(node_dq=node_dq)
 
     # --- non-rigid canonical fusion (153-198)
-    values, weights = WF.update_tsdf_nonrigid(
+    values, weights, esc_dropped = WF.update_tsdf_nonrigid(
         values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist, wmax=wmax,
         brick=brick, n_candidates=n_candidates, use_pallas=use_pallas,
     )
@@ -254,7 +254,7 @@ def fusion_frame(
         n_verts=mesh_out["n_verts"],
         overflow=(
             mesh["overflow"] | mesh_out["overflow"] | live_mesh["overflow"]
-            | (n_dropped > 0)
+            | (n_dropped > 0) | (esc_dropped > 0)
         ),
     )
     return values, weights, wf, lw_dq, stats, mesh_out

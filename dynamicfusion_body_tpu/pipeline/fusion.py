@@ -530,7 +530,7 @@ class Fusion:
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
             new_dq, cost_before, _, cost_after = solve_nonrigid(
                 self._warp.node_dq, *data_args, *reg_args, self._lw,
-                gn_iters=8, cg_iters=32,
+                gn_iters=8, cg_iters=32, dense_pairs=True,
             )
             cost_before = float(cost_before)
             if self._verbose:
@@ -570,11 +570,19 @@ class Fusion:
         use_pallas = jax.default_backend() == "tpu" and trilerp_bricks_supported(
             self._curr_tsdf.shape, brick
         )
-        v, w = WF.update_tsdf_nonrigid(
+        v, w, esc_dropped = WF.update_tsdf_nonrigid(
             vals, wts, self._curr_tsdf, self._warp, self._lw,
             k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
             n_candidates=min(16, self._node_cap), use_pallas=use_pallas,
         )
+        if int(esc_dropped) > 0:
+            import warnings
+
+            warnings.warn(
+                f"updateTSDF: {int(esc_dropped)} in-volume samples exceeded "
+                "the Pallas fixup capacity and were skipped — the warp is "
+                "extreme; use smaller bricks or the XLA path"
+            )
         sx, sy, sz = shape0
         self.volume = self.volume.replace(
             values=v[:sx, :sy, :sz], weights=w[:sx, :sy, :sz]

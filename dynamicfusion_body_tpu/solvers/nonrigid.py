@@ -149,6 +149,8 @@ def gn_solve_core(
     damping: float,
     ftol: float,
     psum,
+    cg_rtol: float = 0.0,
+    dense_pairs: bool = False,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
@@ -156,12 +158,22 @@ def gn_solve_core(
     ``lax.psum`` over the vertex-sharded mesh axis in parallel/sharded.py —
     the reg term and all CG state are replicated there).
 
+    CG terminates early (inexact-Newton forcing, Eisenstat-Walker style)
+    once the residual norm drops below η·‖rhs‖ with η =
+    cg_rtol·(e/cost0): loose steps far from the optimum (where CG
+    accuracy is wasted), asymptotically exact ones near it (the GT
+    recovery regime). The GN energy-acceptance guard keeps the outer
+    iteration monotone regardless. ``dense_pairs``: promise that
+    pair_i == repeat(arange(M), k) (what make_reg_pairs always builds), so
+    pair-term gathers/reductions become reshapes.
+
     Returns (node_dq, cost0_raw, cost0, cost1) — cost0/cost1 huberized,
     cost0_raw the raw 0.5·Σr² the reference prints before optimizing.
     """
     verts, normals, corrs, corr_mask, nbr_idx, blend_wts = data_args
     pair_i, pair_j, pair_v, pair_scale, pair_mask = reg_args
     M = node_dq.shape[0]
+    kp = pair_i.shape[0] // M  # pairs per node when dense
 
     def one_data(dqs_k, vert, normal, corr, wts_k, lw):
         f = lambda d: data_residual_one(d, vert, normal, corr, wts_k, lw)
@@ -178,7 +190,16 @@ def gn_solve_core(
 
     nbr_flat0 = nbr_idx.reshape(-1)
     red_nbr = make_sorted_reducer(nbr_flat0, M)
-    red_pi = make_sorted_reducer(pair_i, M)
+    if dense_pairs:
+        # pair_i = repeat(arange(M), kp): the i-side reduction is a plain
+        # reshape-sum and the i-side gather a broadcast — no data movement.
+        red_pi = lambda x: jnp.sum(x.reshape(x.shape[0], M, kp), axis=2)
+        take_pi = lambda p8: jnp.broadcast_to(
+            p8[:, :, None], (p8.shape[0], M, kp)
+        ).reshape(p8.shape[0], M * kp)
+    else:
+        red_pi = make_sorted_reducer(pair_i, M)
+        take_pi = lambda p8: jnp.take(p8, pair_i, axis=1)
     red_pj = make_sorted_reducer(pair_j, M)
     V, k = nbr_idx.shape
     N = V * k
@@ -261,7 +282,7 @@ def gn_solve_core(
             Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
             back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
 
-            pgi = jnp.take(p8, pair_i, axis=1)            # (8, P)
+            pgi = take_pi(p8)                             # (8, P)
             pgj = jnp.take(p8, pair_j, axis=1)
             Jp_r3 = jnp.stack(
                 [
@@ -275,9 +296,11 @@ def gn_solve_core(
             back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(reg_fold(Jj24, s3))
             return back_d + back_r + lam * p8
 
-        # Jacobi-PCG in (8, M) layout
-        def cg_body(i, state):
-            sol, rvec, z, d, rz = state
+        # Jacobi-PCG in (8, M) layout; stops at cg_iters or once
+        # ‖r‖ ≤ cg_rtol·‖rhs‖ (everything in the state is replicated
+        # under shard_map, so the loop count matches across devices)
+        def cg_body(state):
+            sol, rvec, z, d, rz, it = state
             Ad = matvec(d)
             alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
             sol = sol + alpha * d
@@ -286,11 +309,27 @@ def gn_solve_core(
             rz_new = jnp.sum(rvec * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             d = z + beta * d
-            return sol, rvec, z, d, rz_new
+            return sol, rvec, z, d, rz_new, it + 1
 
         z0 = precond(rhs)
-        state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0))
-        delta8 = jax.lax.fori_loop(0, cg_iters, cg_body, state)[0]
+        state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0),
+                 jnp.int32(0))
+        if cg_rtol > 0.0:
+            # inexact-Newton forcing: measured a net LOSS at bench scale
+            # (saved CG iterations < extra full GN retries it triggers),
+            # so this is off by default — kept for experimentation.
+            eta = cg_rtol * (e / jnp.maximum(cost0, 1e-30))
+            tol2 = (eta * eta) * jnp.sum(rhs * rhs)
+
+            def cg_cond(st):
+                _, rvec, _, _, _, it = st
+                return (it < cg_iters) & (jnp.sum(rvec * rvec) > tol2)
+
+            delta8 = jax.lax.while_loop(cg_cond, cg_body, state)[0]
+        else:
+            delta8 = jax.lax.fori_loop(
+                0, cg_iters, lambda i, st: cg_body(st), state
+            )[0]
 
         x_new = x + delta8.T
         r_d1, r_r1 = _residuals(x_new, data_args, reg_args, lw_dq)
@@ -305,7 +344,9 @@ def gn_solve_core(
         )
         # scipy-style ftol termination: stop (skip remaining iterations)
         # once the relative cost reduction falls below ftol — a rejected
-        # step (e2 == e) terminates too.
+        # step (e2 == e) terminates too. (An LM retry-with-higher-damping
+        # variant was measured here: near convergence it spends full GN
+        # steps on retries that rarely progress — net loss at bench scale.)
         act = act & ((e - e2) > ftol * e)
         return (x2, e2, act), None
 
@@ -316,7 +357,10 @@ def gn_solve_core(
 
 
 @partial(
-    jax.jit, static_argnames=("gn_iters", "cg_iters", "damping", "ftol")
+    jax.jit,
+    static_argnames=(
+        "gn_iters", "cg_iters", "damping", "ftol", "cg_rtol", "dense_pairs",
+    ),
 )
 def solve_nonrigid(
     node_dq,
@@ -336,6 +380,8 @@ def solve_nonrigid(
     cg_iters: int = 32,
     damping: float = 1e-4,
     ftol: float = 1e-6,
+    cg_rtol: float = 0.0,
+    dense_pairs: bool = False,
 ):
     """Single-chip non-rigid GN solve.
 
@@ -347,6 +393,7 @@ def solve_nonrigid(
     return gn_solve_core(
         node_dq, data_args, reg_args, lw_dq,
         gn_iters, cg_iters, damping, ftol, lambda x: x,
+        cg_rtol=cg_rtol, dense_pairs=dense_pairs,
     )
 
 

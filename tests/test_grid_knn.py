@@ -10,7 +10,7 @@ def test_grid_knn_matches_bruteforce(rng):
     P = 3000
     pts = (rng.rand(P, 3) * 200 + 10).astype(np.float32)
     q = (pts[:200] + rng.randn(200, 3) * 2).astype(np.float32)
-    d, i, found = grid_knn(jnp.array(q), jnp.array(pts), 3, cell=16.0,
+    d, i, found, _ovf = grid_knn(jnp.array(q), jnp.array(pts), 3, cell=16.0,
                            cap_per_cell=256, grid_n=16)
     d = np.asarray(d)
     i = np.asarray(i)
@@ -31,7 +31,7 @@ def test_grid_knn_respects_valid_mask(rng):
     valid = np.ones(100, bool)
     valid[:50] = False
     q = pts[:10] + 0.01
-    d, i, found = grid_knn(jnp.array(q), jnp.array(pts), 1,
+    d, i, found, _ovf = grid_knn(jnp.array(q), jnp.array(pts), 1,
                            valid=jnp.array(valid), cell=16.0,
                            cap_per_cell=128, grid_n=8)
     i = np.asarray(i)
@@ -41,6 +41,18 @@ def test_grid_knn_respects_valid_mask(rng):
 def test_grid_knn_no_neighbors(rng):
     pts = np.full((10, 3), 5.0, np.float32)
     q = np.full((4, 3), 200.0, np.float32)
-    d, i, found = grid_knn(jnp.array(q), jnp.array(pts), 2, cell=16.0,
+    d, i, found, _ovf = grid_knn(jnp.array(q), jnp.array(pts), 2, cell=16.0,
                            cap_per_cell=64, grid_n=16)
     assert not np.asarray(found).any()
+
+
+def test_grid_knn_flags_cell_overflow(rng):
+    # 40 points crammed into one cell with cap_per_cell=16 → overflow True
+    pts = (rng.rand(40, 3) * 4 + 20).astype(np.float32)
+    q = pts[:5]
+    *_, ovf = grid_knn(jnp.array(q), jnp.array(pts), 2, cell=16.0,
+                       cap_per_cell=16, grid_n=8)
+    assert bool(ovf)
+    *_, ok = grid_knn(jnp.array(q), jnp.array(pts), 2, cell=16.0,
+                      cap_per_cell=64, grid_n=8)
+    assert not bool(ok)

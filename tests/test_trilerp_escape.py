@@ -1,0 +1,69 @@
+"""Pallas-path correctness when the warp escapes the per-brick VMEM box.
+
+The brick-trilerp kernel only sees a (16,24,Z) window of the live volume;
+samples inside the live volume but beyond that window used to be silently
+skipped (advisor finding). update_tsdf_nonrigid now re-samples them
+exactly through the XLA gather path — this test engineers a warp with
+> 30 voxels of differential spread inside single bricks and checks the
+Pallas(+fixup) result equals the pure-XLA path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynamicfusion_body_tpu.models import warp_field as W
+from dynamicfusion_body_tpu.ops.trilerp_pallas import trilerp_bricks_supported
+
+
+def _tearing_field():
+    """Two adjacent nodes with opposite ±18-voxel translations: voxels a
+    couple of voxels apart warp ~30 voxels apart."""
+    verts = jnp.asarray(
+        np.array([[6.0, 10.0, 60.0], [10.0, 14.0, 60.0]], np.float32)
+    )
+    wf = W.construct_graph(verts, jnp.float32(1.5), 4)
+    dqs = np.tile(np.array([1, 0, 0, 0, 0, 0, 0, 0], np.float32), (4, 1))
+    dqs[0, 5:8] = [0.0, 0.0, 9.0]   # t = (0,0,+18)
+    dqs[1, 5:8] = [0.0, 0.0, -9.0]  # t = (0,0,-18)
+    return wf.replace(node_dq=jnp.asarray(dqs))
+
+
+def test_escaped_samples_are_resampled_exactly(rng):
+    shape = (16, 24, 128)
+    assert trilerp_bricks_supported(shape, 8)
+    wf = _tearing_field()
+    lw = jnp.array([1.0, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    live = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    values = jnp.asarray(rng.uniform(-0.2, 0.3, shape).astype(np.float32))
+    weights = jnp.asarray((rng.rand(*shape) * 3).astype(np.float32))
+
+    # sanity: the warp really does spread beyond the 16-wide box inside
+    # at least one brick (z displacements of ±18 within a few voxels)
+    g = [np.arange(s, dtype=np.float32) for s in shape]
+    px, py, pz = np.meshgrid(*g, indexing="ij")
+    pos = jnp.asarray(
+        np.stack([px, py, pz], -1).reshape(-1, 3).astype(np.float32)
+    )
+    nbr = W.neighbor_lookup(wf, pos, 2)
+    warped = np.asarray(W.warp_points(wf, pos, nbr, m_lw=lw)).reshape(
+        *shape, 3
+    )
+    wzb = warped[..., 2].reshape(2, 8, 3, 8, 16, 8)
+    spread = wzb.max(axis=(1, 3, 5)) - wzb.min(axis=(1, 3, 5))
+    assert float(spread.max()) > 20.0, float(spread.max())
+
+    kw = dict(k=2, tdist=0.5, wmax=100.0, brick=8, n_candidates=4)
+    want_v, want_w, _ = W.update_tsdf_nonrigid(
+        values, weights, live, wf, lw, use_pallas=False, **kw
+    )
+    got_v, got_w, esc_dropped = W.update_tsdf_nonrigid(
+        values, weights, live, wf, lw, use_pallas=True,
+        pallas_interpret=True, pallas_precise=True, **kw
+    )
+    assert int(esc_dropped) == 0  # all escapees fit the fixup capacity
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_w), np.asarray(want_w), atol=3e-3
+    )

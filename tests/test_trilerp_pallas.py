@@ -1,5 +1,9 @@
 """Pallas brick-trilerp kernel vs the reference trilerp semantics
-(interpret mode on CPU)."""
+(interpret mode on CPU). The oracle tests use precise=True (hi/lo
+three-pass weights) — the mode whose error (~2⁻¹⁶·|live|) is below the
+oracle tolerance even on white-noise volumes; the default fast mode is
+validated separately on a Lipschitz (TSDF-like) volume at its own
+contract of ~2⁻⁸·|live|."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -25,9 +29,9 @@ def test_trilerp_bricks_matches_oracle(rng):
     wx[0, :5] = -2.0
     wy[1, 7] = R + 3.0
 
-    vals, valid = trilerp_bricks(
+    vals, valid, _esc = trilerp_bricks(
         jnp.asarray(live), jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
-        group=4, interpret=True,
+        group=1, interpret=True, precise=True,
     )
     vals = np.asarray(vals)
     valid = np.asarray(valid)
@@ -54,9 +58,9 @@ def test_trilerp_bricks_boundary(rng):
     wz = np.full((2, V), R - 1.0, np.float32)
     wx[1], wy[1], wz[1] = 0.0, 0.0, 0.0
     wx[0, 1], wy[0, 1], wz[0, 1] = R - 1.5, R - 2.25, R - 9.0
-    vals, valid = trilerp_bricks(
+    vals, valid, _esc = trilerp_bricks(
         jnp.asarray(live), jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
-        group=1, interpret=True,
+        group=1, interpret=True, precise=True,
     )
     assert bool(valid[0, 0]) and bool(valid[1, 0]) and bool(valid[0, 1])
     np.testing.assert_allclose(
@@ -67,3 +71,35 @@ def test_trilerp_bricks_boundary(rng):
         np.array([R - 1.5, R - 2.25, R - 9.0]), live
     )
     np.testing.assert_allclose(float(vals[0, 1]), want, atol=2e-4)
+
+
+def test_trilerp_bricks_fast_mode_smooth_volume(rng):
+    """Default (single-pass bf16) mode contract: error ≲ 2⁻⁸·|live| on a
+    Lipschitz volume — the shape of a real TSDF, whose values are bounded
+    by the truncation distance."""
+    R = 32
+    g = np.arange(R, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    live = (np.sqrt((x - 15.0) ** 2 + (y - 14.0) ** 2 + (z - 17.0) ** 2)
+            - 9.0)
+    live = np.clip(live, -3.0, 3.0).astype(np.float32) * 0.1
+    NB, V = 8, 512
+    base = rng.rand(NB, 1, 3).astype(np.float32) * (R - 12) + 1
+    offs = rng.rand(NB, V, 3).astype(np.float32) * 8.0
+    w = base + offs
+    vals, valid, _ = trilerp_bricks(
+        jnp.asarray(live), jnp.asarray(w[..., 0]), jnp.asarray(w[..., 1]),
+        jnp.asarray(w[..., 2]), group=1, interpret=True,
+    )
+    vals = np.asarray(vals)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.9
+    for b in range(NB):
+        for v in range(0, V, 29):
+            want = oracles.trilerp_oracle(w[b, v].astype(np.float64), live)
+            if want is not None and valid[b, v]:
+                # three bf16 roundings (box, taps, weight product) →
+                # ≲3·2⁻⁸·max|live| with max|live| = 0.3
+                np.testing.assert_allclose(
+                    vals[b, v], want, atol=3 * 2 ** -8 * 0.3 + 1e-4
+                )

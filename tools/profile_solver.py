@@ -1,9 +1,9 @@
 """Microbenchmark the non-rigid solver's CG matvec constituents on TPU.
 
-Times each primitive of the per-CG-iteration work at bench shapes
-(M=4096 nodes, V=32768 verts, k=3) plus candidate replacements, to decide
-where the ~1.25 ms/iter goes and what to rebuild. Arrays are passed as jit
-arguments (baked constants overflow the axon remote-compile request).
+Per-dispatch + host-fetch overhead over the axon tunnel is ~30 ms — far
+above the primitives measured here — so each primitive is looped REPS
+times inside one jitted program with a data dependency between
+iterations, and the reported time is (total - overhead) / REPS.
 
 Run: nohup python tools/profile_solver.py > /tmp/profile_solver.txt 2>&1 &
 """
@@ -16,17 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def timeit(name, fn, fetch, n=6):
-    fetch(fn())
-    ts = []
-    for _ in range(n):
-        t0 = time.time()
-        fetch(fn())
-        ts.append(time.time() - t0)
-    ms = float(np.median(ts) * 1000)
-    print(f"{name:36s} {ms:9.3f} ms", flush=True)
-    return ms
+REPS = 64
 
 
 def main():
@@ -56,63 +46,75 @@ def main():
     part = jnp.asarray(rng.randint(0, M, (M, S)).astype(np.int32))
     wN = jnp.asarray(rng.rand(N).astype(np.float32))
 
-    f1 = lambda x: float(jnp.ravel(x)[0])
     hi = jax.lax.Precision.HIGHEST
-
-    # 1. current lane gather (8,M) -> (8,N)
-    g_lane = jax.jit(lambda p, ids: jnp.take(p, ids, axis=1))
-    timeit("take_lane_(8,M)->(8,N)", lambda: g_lane(p8, nbr_flat), f1)
-
-    # 2. row gather (M,8) -> (N,8) then transpose
-    g_row = jax.jit(lambda p, ids: jnp.take(p, ids, axis=0).T)
-    timeit("take_row_(M,8)->(N,8)->T", lambda: g_row(pM8, nbr_flat), f1)
-
-    # 3. sorted reducer on (8,N)
     red = make_sorted_reducer(nbr_flat, M)
-    red8 = jax.jit(lambda x: red(x))
-    timeit("red_nbr_(8,N)", lambda: red8(Jd8), f1)
 
-    # 4. sorted reducer on (64,N) (block-jacobi assembly)
-    timeit("red_nbr_(64,N)", lambda: red8(x64), f1)
+    def timeit(name, make_body, init, n=3):
+        """make_body: carry -> carry (one primitive application, with a
+        data dependency through carry)."""
+        body = make_body
 
-    # 5. precond einsum
-    pc = jax.jit(lambda D, r: jnp.einsum("mab,bm->am", D, r, precision=hi))
-    timeit("precond_einsum", lambda: pc(Dinv, p8), f1)
+        @jax.jit
+        def loop(c):
+            return jax.lax.fori_loop(0, REPS, lambda i, c: body(c), c)
 
-    # 6. full current matvec (data term only)
-    def mv(p, ids, J, w):
-        pg = jnp.take(p, ids, axis=1)
-        prod = jnp.sum(J * pg, axis=0)
+        out = loop(init)
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        ts = []
+        for _i in range(n):
+            t0 = time.time()
+            out = loop(init)
+            _ = float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+            ts.append(time.time() - t0)
+        ms = (np.median(ts) * 1000 - 32.0) / REPS  # subtract dispatch+fetch
+        print(f"{name:36s} {ms:9.4f} ms/op", flush=True)
+
+    # perturb-carry helpers keep a dependency without changing shapes
+    timeit("elementwise_(8,N)",
+           lambda c: c * 1.000001 + 0.001, Jd8)
+    timeit("cumsum_(8,N)",
+           lambda c: jnp.cumsum(c, axis=1) * 1e-6, Jd8)
+    timeit("take_lane_(8,M)->(8,N)_sum",
+           lambda c: c + 1e-9 * jnp.sum(
+               jnp.take(c, nbr_flat % M, axis=1), axis=1, keepdims=True),
+           p8)
+    timeit("take_row_(M,8)->(N,8)_sum",
+           lambda c: c + 1e-9 * jnp.sum(
+               jnp.take(c, nbr_flat % M, axis=0), axis=0, keepdims=True),
+           pM8)
+    timeit("red_nbr_(8,N)",
+           lambda c: c + 1e-9 * jnp.sum(red(c + 1.0)) , Jd8)
+    timeit("red_nbr_(64,N)",
+           lambda c: c + 1e-9 * jnp.sum(red(c + 1.0)), x64)
+    timeit("precond_einsum",
+           lambda c: jnp.einsum("mab,bm->am", Dinv, c, precision=hi) * 1e-3
+           + c * 0.5,
+           p8)
+
+    def mv(p):
+        pg = jnp.take(p, nbr_flat, axis=1)
+        prod = jnp.sum(Jd8 * pg, axis=0)
         Jp = jnp.sum(prod.reshape(V, k), axis=1)
         JpN = jnp.broadcast_to(Jp[:, None], (V, k)).reshape(N)
-        return red(J * (w * JpN)[None, :])
+        return red(Jd8 * (wN * JpN)[None, :])
 
-    mvj = jax.jit(mv)
-    timeit("matvec_data_current", lambda: mvj(p8, nbr_flat, Jd8, wN), f1)
+    timeit("matvec_data_current",
+           lambda c: c * 0.5 + 1e-9 * mv(c), p8)
 
-    # 7. block-Hessian matvec: row-gather partners + einsum
-    def mv_blk(Hb, pt, p):
-        pg = jnp.take(p, pt.reshape(-1), axis=0).reshape(M, S, 8)
-        return jnp.einsum("msab,msb->ma", Hb, pg, precision=hi)
+    def mv_blk(p):
+        pg = jnp.take(p, part.reshape(-1), axis=0).reshape(M, S, 8)
+        return jnp.einsum("msab,msb->ma", Hblk, pg, precision=hi)
 
-    mvb = jax.jit(mv_blk)
-    timeit("matvec_blockH_(M,32,8,8)", lambda: mvb(Hblk, part, pM8), f1)
+    timeit("matvec_blockH_(M,32,8,8)",
+           lambda c: c * 0.5 + 1e-9 * mv_blk(c), pM8)
 
-    # 8. block-Hessian assembly cost proxy: (64, V*k*k) reduce
     NK2 = V * k * k
     x64b = jnp.asarray(rng.rand(64, NK2).astype(np.float32))
     ids2 = jnp.asarray(rng.randint(0, M * S, NK2).astype(np.int32))
     red2 = make_sorted_reducer(ids2, M * S)
-    red2j = jax.jit(lambda x: red2(x))
-    timeit("assembly_red_(64,VK2)->(64,MS)", lambda: red2j(x64b), f1)
-
-    # 9. cumsum alone at (8,N)
-    cs = jax.jit(lambda x: jnp.cumsum(x, axis=1))
-    timeit("cumsum_(8,N)", lambda: cs(Jd8), f1)
-
-    # 10. elementwise (8,N) fma
-    ew = jax.jit(lambda a, b: a * b + 1.0)
-    timeit("elementwise_(8,N)", lambda: ew(Jd8, Jd8), f1)
+    timeit("assembly_red_(64,VK2)->(64,MS)",
+           lambda c: c + 1e-9 * jnp.sum(red2(c + 1.0)), x64b,
+           )
 
 
 if __name__ == "__main__":

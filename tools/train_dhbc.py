@@ -1,0 +1,237 @@
+"""Train DHBC on synthetic ID-labeled depth renders + correspondence ablation.
+
+The reference's CNN correspondence mode restores an external TF checkpoint
+(core/sdf.py:85-93, core/models/README.txt — a Google-Drive artifact this
+environment cannot fetch). This script makes the capability real without
+it: following the DHBC training recipe the reference's bit-rotted
+``classify``/``_loss`` gestured at (core/net.py:58-87), it
+
+1. builds a body mesh (the reference's own result mesh
+   /root/reference/meshes/original.obj when present, else a synthetic
+   asymmetric blob),
+2. partitions the surface into ``n_classes`` regions (FPS centers +
+   nearest-center labels),
+3. renders (depth8, per-pixel region label) pairs from yaw views with the
+   package rasterizer,
+4. trains the Flax DHBC with models.dhbc.make_train_step,
+5. saves weights to --out (npz, loadable by Fusion(cnn_weights=...)), and
+6. reports the correspondence ablation: mean 3D match error under a large
+   synthetic bend for clpts vs CNN(trained) vs CNN(random).
+
+Run: python tools/train_dhbc.py --steps 600 --size 256 \
+         --out /root/repo/data/dhbc_synth.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def body_mesh(res=128):
+    """Body-like mesh: original.obj if available, else asymmetric blob."""
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.io.mesh_io import load_obj
+    from dynamicfusion_body_tpu.ops.marching_cubes import marching_cubes
+
+    ref = "/root/reference/meshes/original.obj"
+    if os.path.exists(ref):
+        v, f, _ = load_obj(ref)
+        return np.asarray(v, np.float32), np.asarray(f, np.int32)
+    g = np.arange(res, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    c = (res - 1) / 2
+    dx, dy, dz = x - c, y - c, z - c
+    r = np.sqrt(dx * dx + dy * dy + dz * dz) + 1e-6
+    th = np.arccos(np.clip(dz / r, -1, 1))
+    ph = np.arctan2(dy, dx)
+    bump = 4.0 * np.sin(3 * th + 0.5) * np.cos(2 * ph) + 2.5 * np.sin(
+        5 * ph + 1.3
+    )
+    sdf = (r - (0.27 * res + bump)).astype(np.float32)
+    m = marching_cubes(jnp.asarray(sdf), vert_cap=1 << 15, face_cap=1 << 16)
+    nv, nf = int(m["n_verts"]), int(m["n_faces"])
+    return (np.asarray(m["verts"])[:nv].astype(np.float32),
+            np.asarray(m["faces"])[:nf].astype(np.int32))
+
+
+def region_labels(verts, n_classes, seed=0):
+    """FPS centers + nearest-center region id (1-based; 0 = background)."""
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.ops.sampling import furthest_point_sample
+
+    idx, _ = furthest_point_sample(
+        jnp.asarray(verts), n_classes, start_idx=seed
+    )
+    centers = verts[np.asarray(idx)]
+    d = np.linalg.norm(verts[:, None, :] - centers[None], axis=-1)
+    return (np.argmin(d, axis=1) + 1).astype(np.int32)
+
+
+def make_dataset(verts, faces, vlabels, mvps, size, znear=1.0, zfar=3.5):
+    """Per view: (depth8 (H,W,1), labels (H,W) int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.pipeline.cnn_correspondence import (
+        regularize_verts,
+    )
+    from dynamicfusion_body_tpu.render.raster import render_id
+
+    reg = regularize_verts(
+        jnp.asarray(verts), jnp.ones(len(verts), bool)
+    )
+    fmask = jnp.ones(len(faces), bool)
+    b = zfar * znear / (znear - zfar)
+    a = -b / znear
+    vl = jnp.asarray(np.concatenate([[0], vlabels]))  # 0 = background
+
+    @jax.jit
+    def one(mvp):
+        ids, zwin = render_id(reg, jnp.asarray(faces), fmask, mvp, size,
+                              size, S=8)
+        depth8 = jnp.floor(
+            jnp.clip((zfar - b / (zwin - a)) / (zfar - znear) * 255.0, 0, 255)
+        )
+        lab = jnp.take(vl, ids, axis=0)
+        return depth8.astype(jnp.float32), lab.astype(jnp.int32)
+
+    return [one(jnp.asarray(m)) for m in mvps]
+
+
+def bend_mesh(verts, angle=0.7):
+    """Large smooth deformation: bend the top half about x through the
+    centroid, blended by height."""
+    c = verts.mean(0)
+    y = verts[:, 1] - c[1]
+    h = (y.max() - y.min()) + 1e-6
+    t = 1.0 / (1.0 + np.exp(-8.0 * (y / h)))  # 0 bottom → 1 top
+    out = np.empty_like(verts)
+    ca, sa = np.cos(angle * t), np.sin(angle * t)
+    p = verts - c
+    out[:, 0] = p[:, 0]
+    out[:, 1] = ca * p[:, 1] - sa * p[:, 2]
+    out[:, 2] = sa * p[:, 1] + ca * p[:, 2]
+    return (out + c).astype(np.float32)
+
+
+def match_error(corr, valid, gt_live, vmask):
+    """Mean 3D distance between matched live points and the TRUE deformed
+    position of each canonical vertex."""
+    m = np.asarray(valid) & np.asarray(vmask)
+    d = np.linalg.norm(np.asarray(corr) - gt_live, axis=1)
+    return float(d[m].mean()), int(m.sum())
+
+
+def ablation(verts, faces, params_trained, size, n_views=24):
+    """clpts vs CNN(random) vs CNN(trained) under a large bend."""
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.pipeline.cnn_correspondence import (
+        CnnCorrespondence,
+    )
+    from dynamicfusion_body_tpu.pipeline.correspondence import (
+        closest_point_correspondences,
+    )
+
+    live_v = bend_mesh(verts)
+    V = len(verts)
+    vmask = jnp.ones(V, bool)
+    canon = {"verts": jnp.asarray(verts), "faces": jnp.asarray(faces),
+             "n_faces": jnp.int32(len(faces)),
+             "normals": jnp.zeros((V, 3), jnp.float32)}
+    live = {"verts": jnp.asarray(live_v), "faces": jnp.asarray(faces),
+            "n_faces": jnp.int32(len(faces))}
+
+    # normals for clpts point-to-plane: area-weighted vertex normals
+    tri = verts[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = np.zeros_like(verts)
+    np.add.at(vn, faces.reshape(-1), np.repeat(fn, 3, axis=0))
+    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-9)
+
+    out = {}
+    corr, valid, _ = closest_point_correspondences(
+        jnp.asarray(verts), jnp.asarray(vn), vmask, jnp.asarray(live_v),
+        vmask, 4, tolerance=1e9,
+    )
+    out["clpts"] = match_error(corr, valid, live_v, np.ones(V, bool))
+
+    for tag, p in (("cnn_random", None), ("cnn_trained", params_trained)):
+        cc = CnnCorrespondence(image_size=size)
+        if p is not None:
+            cc.params = p
+        corr, valid = cc.match(canon, live, vmask, vmask)
+        out[tag] = match_error(corr, valid, live_v, np.ones(V, bool))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--n-classes", type=int, default=256)
+    ap.add_argument("--n-views", type=int, default=24)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--out", default="/root/repo/data/dhbc_synth.npz")
+    ap.add_argument("--ablate", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.models.dhbc import (
+        init_dhbc, make_train_step, save_npz_params,
+    )
+    from dynamicfusion_body_tpu.pipeline.cnn_correspondence import view_mvps
+
+    verts, faces = body_mesh()
+    print(f"# mesh: {len(verts)} verts, {len(faces)} faces", flush=True)
+    labels = region_labels(verts, args.n_classes)
+    mvps = view_mvps(args.n_views)
+    data = make_dataset(verts, faces, labels, mvps, args.size)
+    print(f"# dataset: {len(data)} views at {args.size}^2", flush=True)
+
+    model, params = init_dhbc(h=args.size, w=args.size)
+    step, init_opt = make_train_step(model, args.lr, args.n_classes)
+    head = jax.random.normal(
+        jax.random.PRNGKey(1), (16, args.n_classes), jnp.float32
+    ) * 0.1
+    opt_state = init_opt(params, head)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        depth8, lab = data[i % len(data)]
+        params, head, opt_state, loss = step(
+            params, head, opt_state, depth8[None, :, :, None], lab[None]
+        )
+        if i % 25 == 0 or i == args.steps - 1:
+            print(f"step {i:5d} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    save_npz_params(params, args.out)
+    np.save(args.out.replace(".npz", "_head.npy"), np.asarray(head))
+    print(f"# saved {args.out}", flush=True)
+
+    if args.ablate:
+        res = ablation(verts, faces, params, args.size)
+        print("# correspondence ablation (mean 3D match error, n_valid):")
+        for k, v in res.items():
+            print(f"#   {k:12s} err={v[0]:.4f} n={v[1]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
