@@ -151,6 +151,86 @@ def brick_candidates(
     return idx
 
 
+def brick_candidates_2level(
+    wf: WarpField, shape, brick: int, n_candidates: int, x_offset=0,
+    s: int = 2, n_super: int = 64,
+) -> jax.Array:
+    """Two-level brick_candidates: exact top-``n_super`` nodes per
+    SUPER-brick of s³ bricks, then per brick the top-``n_candidates``
+    among its super's pool — 8× less flat-kNN distance work at s=2 (the
+    flat (NB, M) search measured 80 ms/frame at 256³/4096 nodes).
+
+    The per-voxel exact top-k downstream is unchanged; results can differ
+    from the flat search only when a voxel's k-th-nearest node is outside
+    its super-brick's ``n_super`` pool — for surface node distributions
+    at the reference's sampling radius the pool covers several radii
+    around every voxel of the super. Falls back to the flat search when
+    the brick grid does not tile by ``s``.
+    """
+    rx, ry, rz = shape
+    nbx, nby, nbz = rx // brick, ry // brick, rz // brick
+    if nbx % s or nby % s or nbz % s or n_super > wf.capacity:
+        return brick_candidates(
+            wf, shape, brick, n_candidates, x_offset=x_offset
+        )
+    nsx, nsy, nsz = nbx // s, nby // s, nbz // s
+    NS = nsx * nsy * nsz
+    sb = brick * s
+    f32 = jnp.float32
+
+    def centers_1d(n):
+        return (jnp.arange(n, dtype=f32) * sb) + (sb - 1) / 2.0
+
+    cx = jnp.repeat(centers_1d(nsx) + x_offset, nsy * nsz)
+    cy = jnp.tile(jnp.repeat(centers_1d(nsy), nsz), nsx)
+    cz = jnp.tile(centers_1d(nsz), nsx * nsy)
+    centers_s = jnp.stack([cx, cy, cz], axis=-1)
+    _, sidx = knn(centers_s, wf.node_pos, n_super, valid=wf.active)
+
+    spos = jnp.take(wf.node_pos, sidx.reshape(-1), axis=0).reshape(
+        NS, n_super, 3
+    )
+    sact = jnp.take(wf.active, sidx.reshape(-1), axis=0).reshape(
+        NS, n_super
+    )
+
+    # brick centers within each super, (s³,) in (ix, iy, iz) x-major order
+    def inner_1d(n):
+        return (jnp.arange(s, dtype=f32) * brick) + (brick - 1) / 2.0
+
+    bx = jnp.repeat(inner_1d(s), s * s)
+    by = jnp.tile(jnp.repeat(inner_1d(s), s), s)
+    bz = jnp.tile(inner_1d(s), s * s)
+    base = jnp.stack(
+        [cx - (sb - 1) / 2.0, cy - (sb - 1) / 2.0, cz - (sb - 1) / 2.0],
+        axis=-1,
+    )  # super origins (NS, 3)
+    bc = base[:, None, :] + jnp.stack([bx, by, bz], axis=-1)[None, :, :]
+
+    d2 = jnp.sum(
+        (bc[:, :, None, :] - spos[:, None, :, :]) ** 2, axis=-1
+    )  # (NS, s³, n_super)
+    d2 = jnp.where(sact[:, None, :], d2, jnp.float32(3.4e38))
+
+    # iterative argmin keeps the flat search's first-index tie-break
+    C = n_candidates
+    picks = []
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    for _ in range(C):
+        am = jnp.argmin(d2, axis=2)
+        picks.append(am)
+        d2 = jnp.where(iota_p == am[:, :, None], jnp.float32(3.4e38), d2)
+    local = jnp.stack(picks, axis=-1)  # (NS, s³, C) pool-local ranks
+    cand_s = jnp.take_along_axis(
+        sidx[:, None, :].repeat(s ** 3, axis=1), local, axis=2
+    )  # (NS, s³, C) node ids
+
+    # (nsx, nsy, nsz, ix, iy, iz, C) → global brick order (x-major)
+    out = cand_s.reshape(nsx, nsy, nsz, s, s, s, C)
+    out = out.transpose(0, 3, 1, 4, 2, 5, 6)
+    return out.reshape(nbx * nby * nbz, C)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -198,7 +278,9 @@ def update_tsdf_nonrigid(
     C = n_candidates
     V = brick * brick * brick
     nbs = nby * nbz  # bricks per x-slab
-    cand = brick_candidates(wf, values.shape, brick, C, x_offset=x_offset)
+    cand = brick_candidates_2level(
+        wf, values.shape, brick, C, x_offset=x_offset
+    )
     f32 = jnp.float32
     big = jnp.float32(3.4e38)
     hi = jax.lax.Precision.HIGHEST
@@ -271,28 +353,44 @@ def update_tsdf_nonrigid(
         wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
         return wx, wy, wz, wi
 
-    # warp every voxel (brick-major), then sample the live volume — with
-    # the Pallas brick-trilerp kernel on TPU (ops/trilerp_pallas.py), or
-    # the XLA gather path elsewhere — then apply the running average in
-    # one vectorized pass over the whole (NB, V) brick layout.
-    wxs, wys, wzs, wis = jax.lax.map(slab, jnp.arange(nbx))
     NB = nbx * nbs
-    wx = wxs.reshape(NB, V)
-    wy = wys.reshape(NB, V)
-    wz = wzs.reshape(NB, V)
-    wi = wis.reshape(NB, V)
+    if use_pallas:
+        # fused kernel: per-voxel kNN → DQB warp → brick trilerp in ONE
+        # Pallas pass (ops/trilerp_pallas.py warp_trilerp_bricks); the
+        # XLA slab pass below is the portable equivalent. Brick rows are
+        # z-fastest, so groups of ``g`` consecutive rows are z-runs
+        # sharing one (x, y) footprint — the kernel's one-DMA-per-group
+        # contract; g must divide the brick-grid z extent.
+        from ..ops.trilerp_pallas import warp_trilerp_bricks
+
+        M = wf.capacity
+        node_table = jnp.concatenate(
+            [
+                wf.node_pos.astype(f32),
+                wf.node_w[:, None].astype(f32),
+                wf.active[:, None].astype(f32),
+                wf.node_dq.astype(f32),
+                jnp.zeros((M, 3), f32),
+            ],
+            axis=1,
+        )
+        g = next(g for g in (16, 8, 4, 2, 1) if nbz % g == 0)
+        tsdf_l, valid, escaped, wi, wx, wy, wz = warp_trilerp_bricks(
+            live, node_table, cand, lw_dq, vol_shape=values.shape,
+            brick=brick, k=k, x_offset=x_offset, group=g,
+            interpret=pallas_interpret, precise=pallas_precise,
+        )
+    else:
+        # warp every voxel (brick-major) in x-slabs, then sample the live
+        # volume through the XLA gather path, then apply the running
+        # average in one vectorized pass over the (NB, V) brick layout.
+        wxs, wys, wzs, wis = jax.lax.map(slab, jnp.arange(nbx))
+        wx = wxs.reshape(NB, V)
+        wy = wys.reshape(NB, V)
+        wz = wzs.reshape(NB, V)
+        wi = wis.reshape(NB, V)
 
     if use_pallas:
-        from ..ops.trilerp_pallas import trilerp_bricks
-
-        # brick rows are z-fastest, so groups of ``g`` consecutive rows
-        # are z-runs sharing one (x, y) footprint — the kernel's one-DMA-
-        # per-group contract; g must divide the brick-grid z extent
-        g = next(g for g in (16, 8, 4, 2, 1) if nbz % g == 0)
-        tsdf_l, valid, escaped = trilerp_bricks(
-            live, wx, wy, wz, group=g, interpret=pallas_interpret,
-            precise=pallas_precise,
-        )
         # Samples inside the live volume whose brick warped beyond the
         # kernel's VMEM box (differential warp > ~14 voxels across one
         # 8-cube brick) are re-sampled exactly through the XLA gather

@@ -60,6 +60,134 @@ BZ = 32
 _bf16 = jnp.bfloat16
 
 
+def _in_volume(wx, wy, wz, R):
+    rx, ry, rz = R
+    return (
+        (wx >= 0.0) & (wx <= rx - 1.0)
+        & (wy >= 0.0) & (wy <= ry - 1.0)
+        & (wz >= 0.0) & (wz <= rz - 1.0)
+    )
+
+
+def _box_mins(wxs, wys, wzs, invols, R, bz):
+    """ONE shared (x, y) box per grid step, per-brick z-window mins.
+
+    The ``group`` bricks of a grid step are consecutive along z (brick
+    index order is z-fastest and nbz % group == 0 by the caller gate),
+    so their warped footprints share (x, y) to within the warp's local
+    drift: one DMA of the union box serves all of them. This is the
+    difference between 32768 and 2048 DMA issues per 256³ volume — the
+    per-issue overhead (~1.7 µs) dominated the byte cost. Samples that
+    drift outside the shared margins are reported as escaped and
+    re-sampled exactly by the caller. Mins are taken over VALID samples
+    only: out-of-volume samples are masked by ``invol`` regardless, so
+    they must not drag the box away from in-volume samples.
+
+    The z axis is DMA'd full-width (lane-dim slices would need
+    128-alignment, far coarser than the ~10-voxel z spread); the compute
+    loop rotates each brick's window down to [0, bz) with pltpu.roll.
+    """
+    rx, ry, rz = R
+    group = len(wxs)
+    big = jnp.float32(1e9)
+    mxf = jnp.min(jnp.stack(
+        [jnp.min(jnp.where(invols[g], wxs[g], big)) for g in range(group)]
+    ))
+    myf = jnp.min(jnp.stack(
+        [jnp.min(jnp.where(invols[g], wys[g], big)) for g in range(group)]
+    ))
+    mx = jnp.clip(jnp.floor(mxf).astype(jnp.int32) - 1, 0, rx - BX)
+    my = jnp.clip(
+        ((jnp.floor(myf).astype(jnp.int32) - 1) // 8) * 8, 0, ry - BY
+    )
+    # ry - BY is a multiple of 8 by the shape gate, so the clip preserves
+    # divisibility; tell Mosaic so the DMA slice is legal.
+    my = pl.multiple_of(my, 8)
+    mzs = []
+    for g in range(group):
+        mzf = jnp.min(jnp.where(invols[g], wzs[g], big))
+        mzs.append(
+            jnp.clip(jnp.floor(mzf).astype(jnp.int32) - 1, 0, rz - bz)
+        )
+    return mx, my, mzs
+
+
+def _interp_consts(V, bz, precise):
+    """Per-grid-step constants for the brick interpolation."""
+    f32 = jnp.float32
+    K = BX * BY
+    # Static 0/1 expansion matrix for the x side of the fused xy axis:
+    # row kk decomposes as (x, y) = (kk // BY, kk % BY); the y side is a
+    # pure tile (pltpu.repeat).
+    kk_x = jax.lax.broadcasted_iota(jnp.int32, (K, BX), 0) // BY
+    ex = kk_x == jax.lax.broadcasted_iota(jnp.int32, (K, BX), 1)
+    # precise mode expands in f32 at HIGHEST precision (bf16 taps would
+    # floor its error at 2⁻⁹); fast mode uses a 1-pass bf16 matmul.
+    dt = f32 if precise else _bf16
+    return dict(
+        dt=dt,
+        exd=ex.astype(dt),
+        xprec=jax.lax.Precision.HIGHEST if precise else None,
+        iota_bx=jax.lax.broadcasted_iota(jnp.int32, (BX, V), 0).astype(f32),
+        iota_by=jax.lax.broadcasted_iota(jnp.int32, (BY, V), 0).astype(f32),
+        iota_bz=jax.lax.broadcasted_iota(jnp.int32, (V, bz), 1).astype(f32),
+    )
+
+
+def _interp_one(box2, cst, wx, wy, wz, mx, my, mz, R, bz, precise):
+    """Interpolate one brick against the shared (K, rz) box.
+
+    Per-axis tent taps are built as SMALL transposed matrices ((BX,V),
+    (BY,V) — cheap VPU work) and expanded to the fused-xy (K, V) weight
+    matrix without VPU iota-compares over the big axis: a static 0/1
+    matmul for x, a pltpu.repeat tile for y. One MXU matmul contracts
+    the xy axis against the rotated (K, bz) z-window; the final two
+    z-taps are a (V, bz) tent mul-reduce. Returns (sample, inbox).
+    """
+    rx, ry, rz = R
+    f32 = jnp.float32
+    K = BX * BY
+    lx = jnp.clip(wx, 0.0, rx - 1.0) - mx.astype(f32)
+    ly = jnp.clip(wy, 0.0, ry - 1.0) - my.astype(f32)
+    lz = jnp.clip(wz, 0.0, rz - 1.0) - mz.astype(f32)
+    inbox = (
+        (lx >= 0.0) & (lx <= BX - 1.0)
+        & (ly >= 0.0) & (ly <= BY - 1.0)
+        & (lz >= 0.0) & (lz <= bz - 1.0)
+    )
+
+    dt = cst["dt"]
+    txt = jnp.maximum(0.0, 1.0 - jnp.abs(cst["iota_bx"] - lx[None, :]))
+    tyt = jnp.maximum(0.0, 1.0 - jnp.abs(cst["iota_by"] - ly[None, :]))
+    xkv = jax.lax.dot(cst["exd"], txt.astype(dt), precision=cst["xprec"],
+                      preferred_element_type=f32)    # (K, V) x-taps
+    ykv = pltpu.repeat(tyt, BX, 0)                   # (K, V) y-taps
+    wkv = xkv * ykv                                  # fused xy weights
+
+    # z-window via dynamic lane rotation (lane-dim slicing would need
+    # 128-alignment; the rotate needs 32-bit data, hence f32 boxes)
+    bwin = box2 if rz <= bz else pltpu.roll(box2, rz - mz, 1)[:, :bz]
+    # hi/lo bf16 split on the NARROW window — (K, bz) is 12× smaller
+    # than the full box, so the converts are off the critical path
+    bh = bwin.astype(_bf16)
+    dn = (((0,), (0,)), ((), ()))
+    if precise:
+        w_hi = wkv.astype(_bf16)
+        w_lo = (wkv - w_hi.astype(f32)).astype(_bf16)
+        bl = (bwin - bh.astype(f32)).astype(_bf16)
+        t = (
+            jax.lax.dot_general(w_hi, bh, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(w_hi, bl, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(w_lo, bh, dn, preferred_element_type=f32)
+        )
+    else:
+        t = jax.lax.dot_general(wkv.astype(_bf16), bh, dn,
+                                preferred_element_type=f32)
+
+    tz = jnp.maximum(0.0, 1.0 - jnp.abs(cst["iota_bz"] - lz[:, None]))
+    return jnp.sum(t * tz, axis=1), inbox
+
+
 def _kernel(live_ref, wx_ref, wy_ref, wz_ref,
             vals_ref, valid_ref, esc_ref, boxes, sems,
             *, group, R, precise, bz):
@@ -68,136 +196,24 @@ def _kernel(live_ref, wx_ref, wy_ref, wz_ref,
     K = BX * BY
     f32 = jnp.float32
 
-    def in_volume(g):
-        wx = wx_ref[g, :]
-        wy = wy_ref[g, :]
-        wz = wz_ref[g, :]
-        return (
-            (wx >= 0.0) & (wx <= rx - 1.0)
-            & (wy >= 0.0) & (wy <= ry - 1.0)
-            & (wz >= 0.0) & (wz <= rz - 1.0)
-        )
-
-    # ---- ONE shared (x, y) box per grid step -----------------------------
-    # The ``group`` bricks of a grid step are consecutive along z (brick
-    # index order is z-fastest and nbz % group == 0 by the caller gate),
-    # so their warped footprints share (x, y) to within the warp's local
-    # drift: one DMA of the union box serves all of them. This is the
-    # difference between 32768 and 4096 DMA issues per 256³ volume — the
-    # per-issue overhead (~1.7 µs) dominated the byte cost. Samples that
-    # drift outside the shared margins are reported as escaped and
-    # re-sampled exactly by the caller. Mins are taken over VALID samples
-    # only: out-of-volume samples are masked by ``invol`` regardless, so
-    # they must not drag the box away from in-volume samples.
-    big = jnp.float32(1e9)
-    invols = [in_volume(g) for g in range(group)]
-    mxf = jnp.min(jnp.stack(
-        [jnp.min(jnp.where(invols[g], wx_ref[g, :], big))
-         for g in range(group)]))
-    myf = jnp.min(jnp.stack(
-        [jnp.min(jnp.where(invols[g], wy_ref[g, :], big))
-         for g in range(group)]))
-    mx = jnp.clip(jnp.floor(mxf).astype(jnp.int32) - 1, 0, rx - BX)
-    my = jnp.clip(
-        ((jnp.floor(myf).astype(jnp.int32) - 1) // 8) * 8, 0, ry - BY
+    wxs = [wx_ref[g, :] for g in range(group)]
+    wys = [wy_ref[g, :] for g in range(group)]
+    wzs = [wz_ref[g, :] for g in range(group)]
+    invols = [_in_volume(wxs[g], wys[g], wzs[g], R) for g in range(group)]
+    mx, my, mzs = _box_mins(wxs, wys, wzs, invols, R, bz)
+    copy = pltpu.make_async_copy(
+        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
     )
-    # ry - BY is a multiple of 8 by the shape gate, so the clip preserves
-    # divisibility; tell Mosaic so the DMA slice is legal.
-    my = pl.multiple_of(my, 8)
-    pltpu.make_async_copy(
-        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
-    ).start()
-
-    # per-brick z-window min: the z axis is DMA'd full-width (lane-dim
-    # slices would need 128-alignment, far coarser than the ~10-voxel z
-    # spread); the compute loop rotates each brick's window down to
-    # [0, bz) in-register with pltpu.roll instead.
-    mzs = []
-    for g in range(group):
-        mzf = jnp.min(jnp.where(invols[g], wz_ref[g, :], big))
-        mzs.append(
-            jnp.clip(jnp.floor(mzf).astype(jnp.int32) - 1, 0, rz - bz)
-        )
-
-    # Static 0/1 expansion matrix for the x side of the fused xy axis:
-    # row kk decomposes as (x, y) = (kk // BY, kk % BY); the y side is a
-    # pure tile (pltpu.repeat). Ex is built once per grid step.
-    kk_x = jax.lax.broadcasted_iota(jnp.int32, (K, BX), 0) // BY
-    ex = kk_x == jax.lax.broadcasted_iota(jnp.int32, (K, BX), 1)
-    # precise mode expands in f32 at HIGHEST precision (bf16 taps would
-    # floor its error at 2⁻⁹); fast mode uses a 1-pass bf16 matmul.
-    dt = f32 if precise else _bf16
-    exd = ex.astype(dt)
-    xprec = jax.lax.Precision.HIGHEST if precise else None
-
-    iota_bx = jax.lax.broadcasted_iota(jnp.int32, (BX, V), 0).astype(f32)
-    iota_by = jax.lax.broadcasted_iota(jnp.int32, (BY, V), 0).astype(f32)
-    iota_bz = jax.lax.broadcasted_iota(jnp.int32, (V, bz), 1).astype(f32)
-
-    def zwindow(box2, mz):
-        """(K, rz) f32 → the (K, bz) z-window starting at mz, via a
-        dynamic lane rotation (lane-dim slicing would need 128-alignment;
-        the rotate needs 32-bit data, hence f32 boxes)."""
-        if rz <= bz:
-            return box2
-        return pltpu.roll(box2, rz - mz, 1)[:, :bz]
-
-    pltpu.make_async_copy(
-        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
-    ).wait()
+    copy.start()
+    cst = _interp_consts(V, bz, precise)
+    copy.wait()
     box2 = boxes[...].reshape(K, rz)
     for g in range(group):
-        mz = mzs[g]
-        wx = wx_ref[g, :]
-        wy = wy_ref[g, :]
-        wz = wz_ref[g, :]
-        invol = invols[g]
-        lx = jnp.clip(wx, 0.0, rx - 1.0) - mx.astype(f32)
-        ly = jnp.clip(wy, 0.0, ry - 1.0) - my.astype(f32)
-        lz = jnp.clip(wz, 0.0, rz - 1.0) - mz.astype(f32)
-        inbox = (
-            (lx >= 0.0) & (lx <= BX - 1.0)
-            & (ly >= 0.0) & (ly <= BY - 1.0)
-            & (lz >= 0.0) & (lz <= bz - 1.0)
+        out, inbox = _interp_one(
+            box2, cst, wxs[g], wys[g], wzs[g], mx, my, mzs[g], R, bz,
+            precise,
         )
-
-        # transposed per-axis tent taps — (BX,V)/(BY,V) stay cheap on the
-        # VPU. Their expansion to the fused-xy (K, V) axis is pure data
-        # movement, exact in f32: row kk of the fused axis decomposes as
-        # (x, y) = (kk // BY, kk % BY), so the x side is each tap row
-        # repeated BY× and the y side is the tap block tiled BX×.
-        txt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_bx - lx[None, :]))
-        tyt = jnp.maximum(0.0, 1.0 - jnp.abs(iota_by - ly[None, :]))
-        xkv = jax.lax.dot(exd, txt.astype(dt), precision=xprec,
-                          preferred_element_type=f32)    # (K, V) x-taps
-        ykv = pltpu.repeat(tyt, BX, 0)                   # (K, V) y-taps
-        wkv = xkv * ykv                                  # fused xy weights
-
-        bwin = zwindow(box2, mz)                      # (K, bz) f32
-        # hi/lo bf16 split on the NARROW window — (K, bz) is 12× smaller
-        # than the full box, so the converts are off the critical path
-        bh = bwin.astype(_bf16)
-        # contract the xy axis on the MXU: (K,V)ᵀ·(K,bz) → (V,bz)
-        dn = (((0,), (0,)), ((), ()))
-        if precise:
-            w_hi = wkv.astype(_bf16)
-            w_lo = (wkv - w_hi.astype(f32)).astype(_bf16)
-            bl = (bwin - bh.astype(f32)).astype(_bf16)
-            t = (
-                jax.lax.dot_general(w_hi, bh, dn,
-                                    preferred_element_type=f32)
-                + jax.lax.dot_general(w_hi, bl, dn,
-                                      preferred_element_type=f32)
-                + jax.lax.dot_general(w_lo, bh, dn,
-                                      preferred_element_type=f32)
-            )
-        else:
-            t = jax.lax.dot_general(wkv.astype(_bf16), bh, dn,
-                                    preferred_element_type=f32)
-
-        # final two z-taps: (V, bz) elementwise tent mul-reduce
-        tz = jnp.maximum(0.0, 1.0 - jnp.abs(iota_bz - lz[:, None]))
-        out = jnp.sum(t * tz, axis=1)
+        invol = invols[g]
         vals_ref[g, :] = out
         valid_ref[g, :] = (invol & inbox).astype(f32)
         # in-volume samples whose brick warped beyond the VMEM box: the
@@ -272,3 +288,189 @@ def trilerp_bricks_supported(shape, brick: int) -> bool:
         and brick + 2 <= BX
         and brick + 2 <= bz
     )
+
+
+# --------------------------------------------------------------------- #
+# Fused per-voxel kNN → DQB warp → trilerp (the whole updateTSDF sample
+# stage as one kernel; reference core/fusion.py:153-198)
+
+
+def _warp_kernel(live_ref, nodes_ref, cand_ref, lw_ref, xoff_ref,
+                 vals_ref, valid_ref, esc_ref, wi_ref,
+                 wx_ref, wy_ref, wz_ref, boxes, sems,
+                 *, group, R, precise, bz, k, brick, nby, nbz):
+    from .compwise import dq_normalize8_c, dq_point_c
+
+    rx, ry, rz = R
+    f32 = jnp.float32
+    V = brick ** 3
+    C = cand_ref.shape[1]
+    K = BX * BY
+    big = jnp.float32(3.4e38)
+
+    # within-brick offsets (x-major, z fastest), decoded arithmetically —
+    # Mosaic can't shape-cast a (b,b,b) iota down to (V,)
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)[0]
+    ox = (vidx // (brick * brick)).astype(f32)
+    oy = ((vidx // brick) % brick).astype(f32)
+    oz = (vidx % brick).astype(f32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, V), 0)
+    lw = tuple(lw_ref[0, e] for e in range(8))
+
+    # ---- pass 1: per-voxel exact top-k among the brick's candidates,
+    # Gaussian DQB blend, sandwich warp (matches the XLA slab pass in
+    # models/warp_field.py term for term; the blend reduction is an
+    # unrolled f32 sum over C — exact, no bf16 matmul rounding)
+    i0 = pl.program_id(0)
+    x_offset = xoff_ref[0, 0]
+    wxs, wys, wzs, wis, invols = [], [], [], [], []
+    for g in range(group):
+        b = i0 * group + g
+        bx0 = (b // (nby * nbz)) * brick + x_offset
+        by0 = ((b // nbz) % nby) * brick
+        bz0 = (b % nbz) * brick
+        pxv = bx0.astype(f32) + ox
+        pyv = by0.astype(f32) + oy
+        pzv = bz0.astype(f32) + oz
+
+        # candidate node rows gathered IN-KERNEL from the VMEM-resident
+        # (M, 16) node table via SMEM indices — an XLA row-gather of the
+        # same (NB·C, 16) data measured 52 ms/frame at 256³
+        cd = jnp.concatenate(
+            [nodes_ref[pl.ds(cand_ref[g, c], 1), :] for c in range(C)],
+            axis=0,
+        )                                      # (C, 16) packed node data
+        ncx = cd[:, 0:1]
+        ncy = cd[:, 1:2]
+        ncz = cd[:, 2:3]
+        ncw = cd[:, 3:4]
+        nact = cd[:, 4:5] > 0.5
+        dx = pxv[None, :] - ncx
+        dy = pyv[None, :] - ncy
+        dz = pzv[None, :] - ncz
+        d2 = dx * dx + dy * dy + dz * dz       # (C, V)
+        d2 = jnp.where(nact, d2, big)
+
+        wsel = jnp.zeros((C, V), f32)
+        wi_sum = jnp.zeros((V,), f32)
+        wi_cnt = jnp.zeros((V,), f32)
+        for _ in range(k):
+            bc = jnp.argmin(d2, axis=0)        # (V,) first-min tie-break
+            chosen = iota_c == bc[None, :]
+            best_d2 = jnp.min(d2, axis=0)
+            dk = jnp.sqrt(jnp.minimum(best_d2, big))
+            w_node = jnp.sum(jnp.where(chosen, ncw, 0.0), axis=0)
+            a_node = jnp.any(chosen & nact, axis=0)
+            finite = a_node & (best_d2 < 1e18)
+            wk = jnp.where(
+                finite, jnp.exp(-((dk / (2.0 * w_node)) ** 2)), 0.0
+            )
+            wsel = wsel + chosen * wk[None, :]
+            wi_sum = wi_sum + jnp.where(finite, dk, 0.0)
+            wi_cnt = wi_cnt + finite.astype(f32)
+            d2 = jnp.where(chosen, big, d2)
+
+        # DQB blend: exact f32 sum over the C candidates per component
+        acc = tuple(
+            jnp.sum(cd[:, 5 + e:6 + e] * wsel, axis=0) for e in range(8)
+        )
+        se3 = dq_normalize8_c(acc)
+        wx, wy, wz = dq_point_c(se3, (pxv, pyv, pzv))
+        wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
+        wxs.append(wx)
+        wys.append(wy)
+        wzs.append(wz)
+        wis.append(wi_sum / jnp.maximum(wi_cnt, 1.0))
+        invols.append(_in_volume(wx, wy, wz, R))
+
+    # ---- pass 2: shared-box DMA + interpolation (see _kernel)
+    mx, my, mzs = _box_mins(wxs, wys, wzs, invols, R, bz)
+    copy = pltpu.make_async_copy(
+        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
+    )
+    copy.start()
+    cst = _interp_consts(V, bz, precise)
+    copy.wait()
+    box2 = boxes[...].reshape(K, rz)
+    for g in range(group):
+        out, inbox = _interp_one(
+            box2, cst, wxs[g], wys[g], wzs[g], mx, my, mzs[g], R, bz,
+            precise,
+        )
+        invol = invols[g]
+        vals_ref[g, :] = out
+        valid_ref[g, :] = (invol & inbox).astype(f32)
+        esc_ref[g, :] = (invol & jnp.logical_not(inbox)).astype(f32)
+        wi_ref[g, :] = wis[g]
+        wx_ref[g, :] = wxs[g]
+        wy_ref[g, :] = wys[g]
+        wz_ref[g, :] = wzs[g]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "vol_shape", "brick", "k", "group", "interpret", "precise",
+    ),
+)
+def warp_trilerp_bricks(
+    live: jax.Array,
+    node_table: jax.Array,
+    cand_idx: jax.Array,
+    lw_dq: jax.Array,
+    vol_shape,
+    brick: int = 8,
+    k: int = 3,
+    x_offset=0,
+    group: int = 8,
+    interpret: bool = False,
+    precise: bool = False,
+):
+    """Fused updateTSDF sample stage: per-brick candidate kNN → DQB warp
+    → brick-local trilerp, one kernel pass over the volume.
+
+    live: (rx,ry,rz); node_table: (M, 16) packed node rows
+    [pos₃ | dg_w | active | dq₈ | pad₃] — VMEM-resident for the whole
+    grid; cand_idx: (NB, C) int32 per-brick candidate node ids (from
+    brick_candidates, models/warp_field.py); lw_dq: (8,) global DQ.
+
+    Returns (vals, valid, escaped, wi, wx, wy, wz), all (NB, V) — the
+    coords/wi feed the caller's escape fixup and running-average merge,
+    which stay outside the kernel (models/warp_field.py).
+    """
+    rx, ry, rz = vol_shape
+    NB, C = cand_idx.shape
+    V = brick ** 3
+    bz = min(BZ, rz)
+    assert NB % group == 0, (NB, group)
+    grid = NB // group
+    spec = pl.BlockSpec((group, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sds = jax.ShapeDtypeStruct((NB, V), jnp.float32)
+    xoff = jnp.asarray(x_offset, jnp.int32).reshape(1, 1)
+    vals, valid, esc, wi, wx, wy, wz = pl.pallas_call(
+        partial(
+            _warp_kernel, group=group, R=vol_shape, precise=precise,
+            bz=bz, k=k, brick=brick,
+            nby=ry // brick, nbz=rz // brick,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # live stays in HBM
+            pl.BlockSpec(node_table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, C), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec,) * 7,
+        out_shape=(sds,) * 7,
+        scratch_shapes=[
+            pltpu.VMEM((BX, BY, rz), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(live, node_table, cand_idx, lw_dq.reshape(1, 8), xoff)
+    return vals, valid > 0.5, esc > 0.5, wi, wx, wy, wz

@@ -109,6 +109,54 @@ class FusionDM:
         )
 
     # ------------------------------------------------------------------ #
+    def _fuse_all(self, v, w, depths, lws):
+        """Fuse all maps: one Pallas pass on TPU (all views merged in a
+        single traversal of the volume, ops/fusion_pallas.py), else the
+        sequential per-map XLA kernel. Falls back to the XLA path when
+        any sample escapes the kernel's per-brick window."""
+        import jax as _jax
+
+        from ..ops import fusion_pallas as FP
+        from ..ops.bricks import vol_from_bricks, vol_to_bricks
+
+        h, w_img = np.asarray(depths[0]).shape
+        use_multi = (
+            _jax.default_backend() == "tpu"
+            and FP.fuse_depth_multi_supported(v.shape, (h, w_img), 8)
+            and len(depths) * h * w_img * 4 <= (64 << 20)
+        )
+        if use_multi:
+            if self._verbose:
+                for idx in range(len(depths)):
+                    print("fusing depth map ", idx)
+            dstack = jnp.asarray(np.stack(depths), dtype=jnp.float32)
+            projs = jnp.stack([self._proj(lw) for lw in lws])
+            vb, wb, esc = FP.fuse_depth_multi_bricks(
+                vol_to_bricks(v, 8), vol_to_bricks(w, 8), dstack, projs,
+                jnp.asarray(self._Kinv[2], dtype=jnp.float32),
+                vol_shape=v.shape, brick=8, tdist=self._tdist, wmax=100.0,
+            )
+            if int(esc) == 0:
+                return (
+                    vol_from_bricks(vb, v.shape, 8),
+                    vol_from_bricks(wb, v.shape, 8),
+                )
+            import warnings
+
+            warnings.warn(
+                f"fuse_depth_multi: {int(esc)} samples escaped the "
+                "sampling window (extreme close-range perspective) — "
+                "re-fusing through the exact XLA path"
+            )
+        for idx, (dm, lw) in enumerate(zip(depths, lws)):
+            if self._verbose:
+                print("fusing depth map ", idx)
+            v, w = self._fuse(
+                v, w, jnp.asarray(dm, dtype=jnp.float32),
+                self._proj(lw), jnp.asarray(self._Kinv),
+            )
+        return v, w
+
     @property
     def _tsdf(self):
         return self.volume.values
@@ -173,13 +221,7 @@ class FusionDM:
                     self.updateTSDF(v)
         else:
             v, w = self.volume.values, self.volume.weights
-            for idx, (dm, lw) in enumerate(zip(depths, lws)):
-                if self._verbose:
-                    print("fusing depth map ", idx)
-                v, w = self._fuse(
-                    v, w, jnp.asarray(dm, dtype=jnp.float32),
-                    self._proj(lw), jnp.asarray(self._Kinv),
-                )
+            v, w = self._fuse_all(v, w, depths, lws)
             self.volume = self.volume.replace(values=v, weights=w)
 
         if outputMesh:

@@ -99,3 +99,57 @@ def test_volume_grid_world_roundtrip():
     p = jnp.array([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]])
     back = vol.world_to_grid(vol.grid_to_world(p))
     np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-5)
+
+
+def test_fuse_depth_multi_bricks_matches_sequential():
+    """Multi-view Pallas kernel (interpret) ≡ sequential XLA fuse_depth,
+    including the hole-carve, truncation, and WMAX-clamp paths."""
+    from dynamicfusion_body_tpu.ops.bricks import vol_from_bricks, vol_to_bricks
+    from dynamicfusion_body_tpu.ops.fusion_pallas import (
+        fuse_depth_multi_bricks,
+        fuse_depth_multi_supported,
+    )
+
+    K = np.array([[200.0, 0, 64], [0, 200, 32], [0, 0, 1]])
+    Kinv = np.linalg.inv(K)
+    res, tdist, wmax = 16, 0.2, 100.0
+    ind = np.eye(4)
+    ind[0, 0] = ind[1, 1] = ind[2, 2] = 0.05
+    ind[:3, 3] = np.array([-0.4, -0.4, 4.8])
+
+    h, w = 64, 128
+    assert fuse_depth_multi_supported((res,) * 3, (h, w), 8)
+    rng = np.random.RandomState(3)
+    depths, projs = [], []
+    for i in range(3):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        d = 5.0 + 0.01 * xx + 0.005 * yy + 0.1 * i
+        d[20:24, 30:34] = 0.0  # hole carves free space
+        depths.append((-d).astype(np.float32))
+        lw4 = np.eye(4)
+        lw4[:3, 3] = rng.randn(3) * 0.02
+        projs.append((K @ lw4[:3] @ ind).astype(np.float32))
+
+    v = np.full((res, res, res), tdist, np.float32)
+    wts = np.zeros((res, res, res), np.float32)
+    want_v, want_w = jnp.asarray(v), jnp.asarray(wts)
+    for d, p in zip(depths, projs):
+        want_v, want_w = fuse_depth(
+            want_v, want_w, jnp.asarray(d), jnp.asarray(p),
+            jnp.asarray(Kinv, dtype=jnp.float32), tdist, wmax)
+
+    got_vb, got_wb, esc = fuse_depth_multi_bricks(
+        vol_to_bricks(jnp.asarray(v), 8), vol_to_bricks(jnp.asarray(wts), 8),
+        jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(projs)),
+        jnp.asarray(Kinv[2], dtype=jnp.float32),
+        vol_shape=(res,) * 3, brick=8, tdist=tdist, wmax=wmax,
+        interpret=True,
+    )
+    assert int(esc) == 0
+    got_v = vol_from_bricks(got_vb, (res,) * 3, 8)
+    got_w = vol_from_bricks(got_wb, (res,) * 3, 8)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               atol=1e-6)
+    # hi/lo-split bf16 sampling: ~2⁻¹⁶ of the metre-scale depths
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               atol=5e-4)

@@ -127,3 +127,25 @@ def test_update_graph_inserts_unsupported(rng):
     newdq = np.asarray(wf2.node_dq)[n0:n1]
     ref = np.asarray(W.INIT_NODE_DQ) / np.linalg.norm(np.asarray(W.INIT_NODE_DQ))
     np.testing.assert_allclose(newdq, np.broadcast_to(ref, newdq.shape), atol=1e-5)
+
+
+def test_brick_candidates_2level_matches_flat(rng):
+    """The hierarchical candidate search must reproduce the flat search
+    for a surface-like node distribution at the reference's sampling
+    density (pool covers several node radii around every voxel)."""
+    # nodes on a sphere shell inside a 64³ volume, ~3-voxel spacing
+    n = 800
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (32 + d * 22 + rng.randn(n, 3) * 0.5).astype(np.float32)
+    wf = W.construct_graph(jnp.asarray(pts), jnp.float32(3.0), 1024)
+    flat = np.asarray(
+        W.brick_candidates(wf, (64, 64, 64), 8, 8)
+    )
+    two = np.asarray(
+        W.brick_candidates_2level(wf, (64, 64, 64), 8, 8)
+    )
+    assert flat.shape == two.shape == (512, 8)
+    # identical candidate SETS per brick (order may differ on exact ties)
+    same = [set(flat[i]) == set(two[i]) for i in range(512)]
+    assert np.mean(same) > 0.999, np.mean(same)
