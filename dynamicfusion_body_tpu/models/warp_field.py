@@ -514,10 +514,27 @@ def update_graph(
     ratio = d / nw
     unsupported = valid_verts & (jnp.min(ratio, axis=1) >= 1.0)
 
-    # 3. subsample into free slots
-    new_idx, new_count = radius_subsample(
-        verts, wf.radius, capacity, valid=unsupported
+    # 3. subsample into free slots. The greedy fixpoint's cost scales
+    # with its INPUT length, and unsupported vertices are typically a
+    # tiny fraction of the padded vertex array — compact them first
+    # (compaction preserves index order, so the greedy first-fit result
+    # is exactly the reference's). Overflow beyond the compaction cap is
+    # counted into n_dropped, never silent.
+    from ..ops.marching_cubes import _compact_map
+
+    ucap = min(4 * capacity, verts.shape[0])
+    n_unsup = jnp.sum(unsupported.astype(jnp.int32))
+    csum = jnp.cumsum(unsupported.astype(jnp.int32))
+    slots = jnp.arange(ucap, dtype=jnp.int32)
+    src = _compact_map(csum, slots, S=256)
+    upts = jnp.take(verts, src, axis=0)
+    uvalid = slots < n_unsup
+    n_over = jnp.maximum(n_unsup - ucap, 0)
+
+    new_idx_c, new_count = radius_subsample(
+        upts, wf.radius, capacity, valid=uvalid
     )
+    new_idx = jnp.take(src, new_idx_c, axis=0)
     base = wf.num_active
     free = capacity - base
     take = jnp.minimum(new_count, free)
@@ -544,4 +561,4 @@ def update_graph(
         node_vert_idx=node_vert_idx,
         node_w=node_w,
         active=active,
-    ), new_count - take
+    ), (new_count - take) + n_over

@@ -166,7 +166,9 @@ def _interp_one(box2, cst, wx, wy, wz, mx, my, mz, R, bz, precise):
 
     # z-window via dynamic lane rotation (lane-dim slicing would need
     # 128-alignment; the rotate needs 32-bit data, hence f32 boxes)
-    bwin = box2 if rz <= bz else pltpu.roll(box2, rz - mz, 1)[:, :bz]
+    # shift kept in [0, rz) — a full-width rotate is UB territory
+    bwin = (box2 if rz <= bz
+            else pltpu.roll(box2, (rz - mz) % rz, 1)[:, :bz])
     # hi/lo bf16 split on the NARROW window — (K, bz) is 12× smaller
     # than the full box, so the converts are off the critical path
     bh = bwin.astype(_bf16)

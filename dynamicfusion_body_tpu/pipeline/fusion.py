@@ -120,8 +120,11 @@ class FusionDM:
         from ..ops.bricks import vol_from_bricks, vol_to_bricks
 
         h, w_img = np.asarray(depths[0]).shape
+        projs_np = [np.asarray(self._proj(lw)) for lw in lws]
+        window = FP.fuse_window_for(v.shape, projs_np, (h, w_img), 8)
         use_multi = (
             _jax.default_backend() == "tpu"
+            and window > 0
             and FP.fuse_depth_multi_supported(v.shape, (h, w_img), 8)
             and len(depths) * h * w_img * 4 <= (64 << 20)
         )
@@ -130,11 +133,12 @@ class FusionDM:
                 for idx in range(len(depths)):
                     print("fusing depth map ", idx)
             dstack = jnp.asarray(np.stack(depths), dtype=jnp.float32)
-            projs = jnp.stack([self._proj(lw) for lw in lws])
+            projs = jnp.asarray(np.stack(projs_np), dtype=jnp.float32)
             vb, wb, esc = FP.fuse_depth_multi_bricks(
                 vol_to_bricks(v, 8), vol_to_bricks(w, 8), dstack, projs,
                 jnp.asarray(self._Kinv[2], dtype=jnp.float32),
                 vol_shape=v.shape, brick=8, tdist=self._tdist, wmax=100.0,
+                window=window,
             )
             if int(esc) == 0:
                 return (
@@ -176,7 +180,8 @@ class FusionDM:
 
     # ------------------------------------------------------------------ #
     def compute_live_tsdf(
-        self, depths, lws, UseAutoAlignment=False, useICP=False, outputMesh=False
+        self, depths, lws, UseAutoAlignment=False, useICP=False,
+        outputMesh=False, as_numpy=True,
     ):
         """Fuse N depth maps (+3x4 extrinsics) into the canonical TSDF.
 
@@ -227,7 +232,15 @@ class FusionDM:
         if outputMesh:
             np.save("tsdf_temp", np.asarray(self.volume.values))
             self.write_canonical_mesh(os.getcwd(), "test.obj")
-        return (np.asarray(self.volume.values), np.asarray(self.volume.weights))
+        # host copies for reference-API parity; as_numpy=False returns
+        # the device arrays (the copy is ~12 s for 2×67 MB over a
+        # remote-attached TPU tunnel)
+        if as_numpy:
+            return (
+                np.asarray(self.volume.values),
+                np.asarray(self.volume.weights),
+            )
+        return self.volume.values, self.volume.weights
 
     def fuseDepths(self, dm, lw, tsdf, tsdf_w, wmax=100.0):
         """Single-map projective update on explicit arrays (functional)."""
