@@ -69,13 +69,25 @@ def _knn_impl(queries, points, k, valid, chunk, approx=False):
     tie = jnp.arange(npts, dtype=jnp.float32) * 1e-12
 
     def one(qc):
-        d2 = pairwise_sqdist(qc, points)
-        if valid is not None:
-            d2 = jnp.where(valid[None, :], d2, jnp.inf)
         if approx:
-            neg, idx = jax.lax.approx_max_k(
-                -(d2 + tie[None, :]), k, recall_target=0.95
-            )
+            # candidate search only (exact distances are recomputed for
+            # the selected k below): a bf16 distance matrix halves the
+            # HBM traffic of the (chunk, P) materialization feeding the
+            # hardware top-k — the dominant cost at 10⁵-point pools
+            qq = jnp.sum(qc * qc, axis=-1, keepdims=True)
+            pp = jnp.sum(points * points, axis=-1)
+            cross = jnp.dot(qc, points.T,
+                            preferred_element_type=jnp.float32)
+            d2c = (qq - 2.0 * cross + pp[None, :]).astype(jnp.bfloat16)
+            if valid is not None:
+                d2c = jnp.where(valid[None, :], d2c, jnp.bfloat16(jnp.inf))
+            neg, idx = jax.lax.approx_max_k(-d2c, k, recall_target=0.95)
+        else:
+            d2 = pairwise_sqdist(qc, points)
+            if valid is not None:
+                d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        if approx:
+            pass
         elif k <= 4:
             # iterative argmin beats top_k for tiny k (top_k partially
             # sorts the whole 10^5-wide row)
@@ -100,6 +112,12 @@ def _knn_impl(queries, points, k, valid, chunk, approx=False):
         if valid is not None:
             vs = jnp.take(valid, idx.reshape(-1), axis=0).reshape(idx.shape)
             d2s = jnp.where(vs, d2s, jnp.inf)
+        if approx:
+            # bf16 candidate distances quantize the hardware top-k's
+            # ordering — restore ascending order by exact distance
+            order = jnp.argsort(d2s, axis=1)
+            d2s = jnp.take_along_axis(d2s, order, axis=1)
+            idx = jnp.take_along_axis(idx, order, axis=1)
         return jnp.sqrt(d2s), idx.astype(jnp.int32)
 
     d, i = jax.lax.map(one, qpad.reshape(nchunks, chunk, queries.shape[-1]))

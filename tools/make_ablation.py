@@ -53,7 +53,7 @@ def run_variant(vols, name, out_dir, reg, prune, method, tdist,
         jnp.asarray(vols[0]), tdist, subsample_rate=2.0, knn=3,
         marching_cubes_step_size=1, verbose=verbose,
         use_cnn=(method == "cnn"), cnn_weights=cnn_weights,
-        cnn_image_size=256,
+        cnn_image_size=64, write_warpfield=False,
     )
     if name == "original":
         fus.write_canonical_mesh(out_dir, "original.obj")
