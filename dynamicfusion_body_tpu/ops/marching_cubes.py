@@ -90,6 +90,19 @@ def _ntris_of_case(case_flat):
     return (word >> (3 * (case_flat & 7))) & 7
 
 
+def _ntris_chunked(case_flat, chunk=1 << 24):
+    """_ntris_of_case in bounded slabs: the (N, 32) one-hot intermediate
+    is 8.6 GB at 512³ in one piece — enough to push the whole fused-frame
+    program into HBM-spill behavior (measured 30× slowdown)."""
+    n = case_flat.shape[0]
+    if n <= chunk:
+        return _ntris_of_case(case_flat)
+    pad = (-n) % chunk
+    cp = jnp.pad(case_flat, (0, pad))
+    out = jax.lax.map(_ntris_of_case, cp.reshape(-1, chunk))
+    return out.reshape(-1)[:n]
+
+
 def _inv_monotone(starts, valid, out_size):
     """Invert a monotone group→start-slot map: for each output slot r,
     the index of the (valid) group covering it, j[r] = max{g valid:
@@ -100,6 +113,55 @@ def _inv_monotone(starts, valid, out_size):
     arr = jnp.full((out_size + 1,), -1, jnp.int32)
     arr = arr.at[idx].max(jnp.arange(G, dtype=jnp.int32))
     return jax.lax.associative_scan(jnp.maximum, arr[:out_size])
+
+
+class _Ranks:
+    """Hierarchical prefix-sum over a huge counts array WITHOUT the
+    full-length cumsum: counts reshape to (G, S) rows; only the G row
+    sums are scanned. Ranks at arbitrary positions and the inverse
+    (rank → position) both resolve with one row gather + an in-row
+    reduction — the 50M-element inclusive cumsum this replaces was the
+    single largest HBM cost of marching cubes at 256³."""
+
+    def __init__(self, counts, S):
+        n = counts.shape[0]
+        pad = (-n) % S
+        cp = jnp.pad(counts, (0, pad)) if pad else counts
+        self.n = n
+        self.S = S
+        self.rows = cp.reshape(-1, S)
+        rowsum = jnp.sum(self.rows, axis=1, dtype=jnp.int32)
+        gend = jnp.cumsum(rowsum)
+        self.gex = gend - rowsum          # exclusive row starts
+        self.total = gend[-1]
+
+    def rank_incl(self, pos):
+        """Inclusive prefix sum at positions ``pos`` (…,) int32."""
+        j = pos // self.S
+        off = pos % self.S
+        rows = jnp.take(self.rows, j, axis=0)          # (Q, S) row gather
+        iota = jnp.arange(self.S, dtype=jnp.int32)[None, :]
+        inrow = jnp.sum(
+            jnp.where(iota <= off[:, None], rows, 0), axis=1,
+            dtype=jnp.int32,
+        )
+        return jnp.take(self.gex, j, axis=0) + inrow
+
+    def unrank(self, slots):
+        """rank → smallest position with inclusive prefix == rank+1
+        (the compacted-order source index for each output slot)."""
+        cap = slots.shape[0]
+        j = _inv_monotone(
+            self.gex.astype(jnp.int32),
+            jnp.sum(self.rows, axis=1, dtype=jnp.int32) > 0,
+            cap,
+        )
+        j = jnp.maximum(jnp.take(j, slots, axis=0), 0)
+        rows = jnp.take(self.rows, j, axis=0)          # (cap, S)
+        incl = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+        q = (slots + 1 - jnp.take(self.gex, j, axis=0))[:, None]
+        off = jnp.sum((incl < q).astype(jnp.int32), axis=1)
+        return jnp.minimum(j * self.S + off, self.n - 1)
 
 
 def _compact_map(csum, slots, S):
@@ -175,22 +237,17 @@ def marching_cubes(
         lo = vol[tuple(sl_lo)]
         hi = vol[tuple(sl_hi)]
         cross = (lo < level) != (hi < level)
-        denom = lo - hi
-        t = jnp.where(jnp.abs(denom) > 1e-30, (lo - level) / denom, 0.5)
         pad = [(0, 0)] * 3
         pad[a] = (0, 1)
-        return (
-            jnp.pad(cross, pad),
-            jnp.pad(jnp.where(cross, t, 0.0), pad),
-        )
+        return jnp.pad(cross, pad)
 
-    crosses, ts = zip(*(axis_cross(a) for a in range(3)))
+    crosses = [axis_cross(a) for a in range(3)]
     flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
-    csum = jnp.cumsum(flat_mask.astype(jnp.int32))  # inclusive; rank+1 at
-    n_verts = csum[-1]                              # crossing edges
+    vranks = _Ranks(flat_mask.astype(jnp.int8), 256)
+    n_verts = vranks.total
 
     vslots = jnp.arange(vert_cap, dtype=jnp.int32)
-    edge_of_vert = _compact_map(csum, vslots, S=256)
+    edge_of_vert = vranks.unrank(vslots)
     vmask0 = vslots < n_verts
 
     ea = edge_of_vert // nxyz  # axis of each vertex's edge
@@ -198,8 +255,18 @@ def marching_cubes(
     ei = elin // (Y * Z)
     ej = (elin // Z) % Y
     ek = elin % Z
-    t_all = jnp.concatenate([t.reshape(-1) for t in ts])
-    et = jnp.take(t_all, edge_of_vert, axis=0)
+    # interpolation parameter evaluated lazily at the vert_cap selected
+    # edges (the dense (3·nxyz,) t array this replaces was pure HBM tax)
+    vol_flat = vol.reshape(-1)
+    vstride = jnp.where(ea == 0, Y * Z, jnp.where(ea == 1, Z, 1))
+    vlo = jnp.take(vol_flat, elin, axis=0)
+    vhi = jnp.take(
+        vol_flat, jnp.minimum(elin + vstride, nxyz - 1), axis=0
+    )
+    denom = vlo - vhi
+    et = jnp.where(
+        jnp.abs(denom) > 1e-30, (vlo - level) / denom, 0.5
+    )
     vx = ei.astype(jnp.float32) + jnp.where(ea == 0, et, 0.0)
     vy = ej.astype(jnp.float32) + jnp.where(ea == 1, et, 0.0)
     vz = ek.astype(jnp.float32) + jnp.where(ea == 2, et, 0.0)
@@ -217,17 +284,17 @@ def marching_cubes(
             << b
         )
     case_flat = case.reshape(-1)
-    ntris = _ntris_of_case(case_flat)
-    tsum = jnp.cumsum(ntris)  # inclusive
-    n_faces = tsum[-1]
+    ntris = _ntris_chunked(case_flat)
+    franks = _Ranks(ntris, 128)
+    n_faces = franks.total
 
     # ---- triangle emission (gather-light) --------------------------------
     fslots = jnp.arange(face_cap, dtype=jnp.int32)
-    cell_of_face = _compact_map(tsum, fslots, S=128)
+    cell_of_face = franks.unrank(fslots)
     fmask0 = fslots < n_faces
     acase = jnp.take(case_flat, cell_of_face, axis=0)
     ntri_f = _ntris_of_case(acase)
-    tsum_f = jnp.take(tsum, cell_of_face, axis=0)
+    tsum_f = franks.rank_incl(cell_of_face)
     slot = jnp.clip(fslots - (tsum_f - ntri_f), 0, 4)
 
     ci = cell_of_face // (cy * cz)
@@ -246,7 +313,7 @@ def marching_cubes(
         gk = ck + off4[:, 2].astype(jnp.int32)
         ga = off4[:, 3].astype(jnp.int32)
         eid = ga * nxyz + (gi * Y + gj) * Z + gk
-        vidx = jnp.take(csum, eid, axis=0) - 1  # rank of the crossing edge
+        vidx = vranks.rank_incl(eid) - 1  # rank of the crossing edge
         fcols.append(jnp.where(fmask0, vidx, 0))
     # on vertex overflow the cumsum ranks keep counting past vert_cap —
     # zero out any face touching a dropped vertex so exported faces never

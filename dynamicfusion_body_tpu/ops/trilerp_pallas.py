@@ -325,7 +325,7 @@ def _warp_kernel(live_ref, nodes_ref, cand_ref, lw_ref, xoff_ref,
     # unrolled f32 sum over C — exact, no bf16 matmul rounding)
     i0 = pl.program_id(0)
     x_offset = xoff_ref[0, 0]
-    wxs, wys, wzs, wis, invols = [], [], [], [], []
+    accs, poss, wis = [], [], []
     for g in range(group):
         b = i0 * group + g
         bx0 = (b // (nby * nbz)) * brick + x_offset
@@ -373,17 +373,28 @@ def _warp_kernel(live_ref, nodes_ref, cand_ref, lw_ref, xoff_ref,
             d2 = jnp.where(chosen, big, d2)
 
         # DQB blend: exact f32 sum over the C candidates per component
-        acc = tuple(
+        accs.append(tuple(
             jnp.sum(cd[:, 5 + e:6 + e] * wsel, axis=0) for e in range(8)
-        )
-        se3 = dq_normalize8_c(acc)
-        wx, wy, wz = dq_point_c(se3, (pxv, pyv, pzv))
-        wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
-        wxs.append(wx)
-        wys.append(wy)
-        wzs.append(wz)
+        ))
+        poss.append((pxv, pyv, pzv))
         wis.append(wi_sum / jnp.maximum(wi_cnt, 1.0))
-        invols.append(_in_volume(wx, wy, wz, R))
+
+    # normalize + sandwich the whole group's blends at once on (G, V)
+    # arrays — the same ~200 VPU ops on per-brick (V,) vectors ran at a
+    # single sublane (1/8 utilization)
+    acc2 = tuple(
+        jnp.stack([accs[g][e] for g in range(group)]) for e in range(8)
+    )
+    se3 = dq_normalize8_c(acc2)
+    p2 = tuple(
+        jnp.stack([poss[g][c] for g in range(group)]) for c in range(3)
+    )
+    wx2, wy2, wz2 = dq_point_c(se3, p2)
+    wx2, wy2, wz2 = dq_point_c(lw, (wx2, wy2, wz2))
+    wxs = [wx2[g] for g in range(group)]
+    wys = [wy2[g] for g in range(group)]
+    wzs = [wz2[g] for g in range(group)]
+    invols = [_in_volume(wxs[g], wys[g], wzs[g], R) for g in range(group)]
 
     # ---- pass 2: shared-box DMA + interpolation (see _kernel)
     mx, my, mzs = _box_mins(wxs, wys, wzs, invols, R, bz)
