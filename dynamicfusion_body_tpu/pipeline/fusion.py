@@ -490,13 +490,17 @@ class Fusion:
         )
 
     def setupCorrespondences(
-        self, curr_tsdf, method="cnn", prune_result=True, tolerance=0.2
+        self, curr_tsdf, method="cnn", prune_result=True, tolerance=0.2,
+        live_mc_step=1,
     ):
         """Find live-frame correspondences (reference
         core/fusion.py:243-313). ``prune_result`` masks outliers by
-        point-to-plane cost instead of deleting vertices."""
+        point-to-plane cost instead of deleting vertices.
+        ``live_mc_step``: extraction stride of the live mesh — the
+        reference uses 1 (core/fusion.py:247); ≥2 bounds the live vertex
+        pool at 512³+ volumes."""
         self._curr_tsdf = jnp.asarray(curr_tsdf, dtype=jnp.float32)
-        live = self.marching_cubes(self._curr_tsdf, step_size=1)
+        live = self.marching_cubes(self._curr_tsdf, step_size=live_mc_step)
         m = self._mesh
         vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
         lmask = jnp.arange(self._vert_cap) < int(live["n_verts"])
