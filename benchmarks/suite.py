@@ -216,11 +216,11 @@ def config4():
             tdist=tdist, brick=8, n_candidates=16, use_pallas=use_pallas,
         )
 
-    v, w, _ = f()
+    v, w, _, _ = f()
     x = float(v[0, 0, 0])
     t0 = time.time()
     for _ in range(3):
-        v, w, _ = f()
+        v, w, _, _ = f()
         x = float(v[0, 0, 0])
     _emit("config4_nonrigid_update_256", (time.time() - t0) / 3 * 1000,
           {"pallas": use_pallas})

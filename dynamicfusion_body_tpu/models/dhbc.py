@@ -98,12 +98,27 @@ class DHBC(nn.Module):
         return up1
 
 
-def init_dhbc(rng_seed: int = 0, h: int = 512, w: int = 512):
-    model = DHBC()
+def init_dhbc(rng_seed: int = 0, h: int = 512, w: int = 512,
+              normalize_input: bool = True):
+    """``normalize_input=False`` reproduces the reference's raw 0..255
+    input contract (required when loading a converted reference
+    checkpoint, which was trained at that scale)."""
+    model = DHBC(normalize_input=normalize_input)
     params = model.init(
         jax.random.PRNGKey(rng_seed), jnp.zeros((1, h, w, 1), jnp.float32)
     )
     return model, params
+
+
+def npz_normalize_input(npz_path: str):
+    """Input-scale contract recorded in a weights npz (see
+    save_npz_params), or None for files without the marker (e.g. weights
+    converted from the reference TF checkpoint — those were trained on
+    raw 0..255 inputs, so callers should default to False for them)."""
+    data = np.load(npz_path)
+    if "__normalize_input__" in data.files:
+        return bool(data["__normalize_input__"])
+    return None
 
 
 def load_npz_params(params, npz_path: str):
@@ -124,11 +139,15 @@ def load_npz_params(params, npz_path: str):
     return flax.traverse_util.unflatten_dict(flat, sep="/")
 
 
-def save_npz_params(params, npz_path: str):
+def save_npz_params(params, npz_path: str, normalize_input: bool = True):
+    """Saves weights plus the input-scale contract they were trained with
+    (``__normalize_input__``), so loading picks the right preprocessing
+    automatically instead of silently feeding the wrong scale."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params, sep="/")
-    np.savez(npz_path, **{k: np.asarray(v) for k, v in flat.items()})
+    np.savez(npz_path, __normalize_input__=np.bool_(normalize_input),
+             **{k: np.asarray(v) for k, v in flat.items()})
 
 
 # --------------------------------------------------------------------- #

@@ -153,8 +153,9 @@ def brick_candidates(
 
 def brick_candidates_2level(
     wf: WarpField, shape, brick: int, n_candidates: int, x_offset=0,
-    s: int = 2, n_super: int = 64,
-) -> jax.Array:
+    s: int = 2, n_super: int = 64, with_risk: bool = False,
+    risk_k: int | None = None,
+):
     """Two-level brick_candidates: exact top-``n_super`` nodes per
     SUPER-brick of s³ bricks, then per brick the top-``n_candidates``
     among its super's pool — 8× less flat-kNN distance work at s=2 (the
@@ -166,13 +167,25 @@ def brick_candidates_2level(
     at the reference's sampling radius the pool covers several radii
     around every voxel of the super. Falls back to the flat search when
     the brick grid does not tile by ``s``.
+
+    ``with_risk=True`` additionally returns the number of bricks where a
+    pool-boundary miss is POSSIBLE by the conservative ball bound: a node
+    outside the super's pool is at least ``r_pool − d(voxel, super_center)``
+    away, so a downstream top-``risk_k`` selection can miss only in
+    bricks whose ``risk_k``-th candidate distance (plus the brick
+    half-diagonal, twice) reaches that bound (``risk_k`` defaults to C —
+    certifying the full candidate list). Zero risk ⇒ the voxel-level
+    top-``risk_k`` is certifiably identical to the flat search
+    everywhere; nonzero ⇒ drift is possible and callers should surface
+    it (or switch to ``exact_candidates``).
     """
     rx, ry, rz = shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
     if nbx % s or nby % s or nbz % s or n_super > wf.capacity:
-        return brick_candidates(
+        out = brick_candidates(
             wf, shape, brick, n_candidates, x_offset=x_offset
         )
+        return (out, jnp.int32(0)) if with_risk else out
     nsx, nsy, nsz = nbx // s, nby // s, nbz // s
     NS = nsx * nsy * nsz
     sb = brick * s
@@ -185,7 +198,7 @@ def brick_candidates_2level(
     cy = jnp.tile(jnp.repeat(centers_1d(nsy), nsz), nsx)
     cz = jnp.tile(centers_1d(nsz), nsx * nsy)
     centers_s = jnp.stack([cx, cy, cz], axis=-1)
-    _, sidx = knn(centers_s, wf.node_pos, n_super, valid=wf.active)
+    sdist, sidx = knn(centers_s, wf.node_pos, n_super, valid=wf.active)
 
     spos = jnp.take(wf.node_pos, sidx.reshape(-1), axis=0).reshape(
         NS, n_super, 3
@@ -214,9 +227,13 @@ def brick_candidates_2level(
 
     # iterative argmin keeps the flat search's first-index tie-break
     C = n_candidates
+    kth = C if risk_k is None else max(1, min(risk_k, C))
     picks = []
+    kth_d2 = None
     iota_p = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    for _ in range(C):
+    for p in range(C):
+        if p == kth - 1:
+            kth_d2 = jnp.min(d2, axis=2)
         am = jnp.argmin(d2, axis=2)
         picks.append(am)
         d2 = jnp.where(iota_p == am[:, :, None], jnp.float32(3.4e38), d2)
@@ -228,14 +245,32 @@ def brick_candidates_2level(
     # (nsx, nsy, nsz, ix, iy, iz, C) → global brick order (x-major)
     out = cand_s.reshape(nsx, nsy, nsz, s, s, s, C)
     out = out.transpose(0, 3, 1, 4, 2, 5, 6)
-    return out.reshape(nbx * nby * nbz, C)
+    out = out.reshape(nbx * nby * nbz, C)
+    if not with_risk:
+        return out
+    # conservative pool-boundary-miss certificate (see docstring): any
+    # out-of-pool node is ≥ r_pool − d(v, super_center) from voxel v; the
+    # voxel's C-th in-pool candidate is ≤ d(brick_center, C-th) + hd_b.
+    # (When every active node is already in the pool, r_pool is +inf from
+    # the masked kNN and no brick can be at risk.)
+    r_pool = sdist[:, -1]                               # (NS,)
+    hd_b = jnp.sqrt(3.0) * (brick - 1) / 2.0
+    half = (sb - 1) / 2.0
+    d_off = jnp.sqrt(
+        (bx - half) ** 2 + (by - half) ** 2 + (bz - half) ** 2
+    )                                                   # (s³,)
+    d_c = jnp.sqrt(jnp.minimum(kth_d2, jnp.float32(3.4e38)))
+    # miss possible iff (d_c + hd_b) ≥ (r_pool − d_off − hd_b)
+    at_risk = (d_c + 2.0 * hd_b + d_off[None, :]) >= r_pool[:, None]
+    at_risk = at_risk & jnp.isfinite(r_pool)[:, None]
+    return out, jnp.sum(at_risk.astype(jnp.int32))
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "k", "tdist", "wmax", "brick", "n_candidates", "use_pallas",
-        "pallas_interpret", "pallas_precise",
+        "pallas_interpret", "pallas_precise", "exact_candidates",
     ),
 )
 def update_tsdf_nonrigid(
@@ -253,6 +288,7 @@ def update_tsdf_nonrigid(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     pallas_precise: bool = False,
+    exact_candidates: bool = False,
 ):
     """Non-rigid canonical TSDF fusion — the reference's hottest loop
     (core/fusion.py:153-198) as a fused, brick-chunked device computation.
@@ -262,10 +298,20 @@ def update_tsdf_nonrigid(
     the wi_t==0 → wi substitution. Processes one x-slab of ``brick`` planes
     per lax.map step to bound transient memory.
 
-    Returns (values, weights, esc_dropped): esc_dropped counts in-volume
-    samples the Pallas path could not fuse this frame (warp spread beyond
-    both the per-brick VMEM box AND the fixup capacity — loud, not
-    silent); always 0 on the XLA gather path.
+    Returns (values, weights, esc_dropped, pool_risk):
+    * esc_dropped counts in-volume samples the Pallas path could not fuse
+      this frame; since the full-XLA fallback below it is always 0 unless
+      both the per-brick VMEM box AND the fixup capacity AND the fallback
+      are somehow unavailable — kept for API visibility;
+    * pool_risk counts bricks where the 2-level candidate search cannot
+      CERTIFY equality with the flat node search (see
+      brick_candidates_2level); 0 for ``exact_candidates=True``. Nonzero
+      values are surfaced by the drivers like escape/overflow counts.
+
+    ``exact_candidates=True`` opts out of the 2-level approximation and
+    uses the flat per-brick kNN over the whole node pool (advisor
+    finding: clustered/irregular node distributions can exceed the fixed
+    super-brick pool).
 
     TPU layout note: all per-voxel intermediates are 1-D (N,) component
     arrays (structure-of-arrays) — (N,3)/(N,C,3) shapes would pad their
@@ -278,9 +324,16 @@ def update_tsdf_nonrigid(
     C = n_candidates
     V = brick * brick * brick
     nbs = nby * nbz  # bricks per x-slab
-    cand = brick_candidates_2level(
-        wf, values.shape, brick, C, x_offset=x_offset
-    )
+    if exact_candidates:
+        cand = brick_candidates(
+            wf, values.shape, brick, C, x_offset=x_offset
+        )
+        pool_risk = jnp.int32(0)
+    else:
+        cand, pool_risk = brick_candidates_2level(
+            wf, values.shape, brick, C, x_offset=x_offset, with_risk=True,
+            risk_k=k,
+        )
     f32 = jnp.float32
     big = jnp.float32(3.4e38)
     hi = jax.lax.Precision.HIGHEST
@@ -394,8 +447,9 @@ def update_tsdf_nonrigid(
         # Samples inside the live volume whose brick warped beyond the
         # kernel's VMEM box (differential warp > ~14 voxels across one
         # 8-cube brick) are re-sampled exactly through the XLA gather
-        # path — up to ESC_CAP per frame; any beyond that are dropped
-        # and COUNTED (esc_dropped) instead of silently skipped.
+        # path — up to ESC_CAP per frame; beyond that the WHOLE frame
+        # falls back to the full XLA gather resample (advisor finding:
+        # never drop in-volume samples the reference would fuse).
         n_esc = jnp.sum(escaped.astype(jnp.int32))
         ESC_CAP = 1 << 16
 
@@ -411,16 +465,27 @@ def update_tsdf_nonrigid(
             fy = jnp.take(wy.reshape(-1), src, axis=0)
             fz = jnp.take(wz.reshape(-1), src, axis=0)
             vals_fix, ok_fix = _trilinear_c(live, fx, fy, fz)
-            # masked slots scatter out of bounds → dropped
+            # masked slots scatter out of bounds → no-op
             tgt = jnp.where(smask, src, NB * V)
             tl = tl.reshape(-1).at[tgt].set(vals_fix, mode="drop")
             vl = vl.reshape(-1).at[tgt].set(ok_fix, mode="drop")
             return tl.reshape(NB, V), vl.reshape(NB, V)
 
+        def full_resample(args):
+            # extreme warps: resample every voxel exactly (same coords
+            # the kernel computed, XLA gather path)
+            t2, v2 = _trilinear_c(
+                live, wx.reshape(-1), wy.reshape(-1), wz.reshape(-1)
+            )
+            return t2.reshape(NB, V), v2.reshape(NB, V)
+
         tsdf_l, valid = jax.lax.cond(
-            n_esc > 0, fixup, lambda a: a, (tsdf_l, valid)
+            n_esc > ESC_CAP,
+            full_resample,
+            lambda a: jax.lax.cond(n_esc > 0, fixup, lambda b: b, a),
+            (tsdf_l, valid),
         )
-        esc_dropped = jnp.maximum(n_esc - ESC_CAP, 0)
+        esc_dropped = jnp.int32(0)
     else:
         tsdf_l, valid = _trilinear_c(
             live, wx.reshape(-1), wy.reshape(-1), wz.reshape(-1)
@@ -446,7 +511,7 @@ def update_tsdf_nonrigid(
     new_wts = jnp.minimum(wi + wi_t, wmax)
     out_v = vol_from_bricks(jnp.where(upd, new_vals, vals))
     out_w = vol_from_bricks(jnp.where(upd, new_wts, wts))
-    return out_v, out_w, esc_dropped
+    return out_v, out_w, esc_dropped, pool_risk
 
 
 def _trilinear_c(volume, px, py, pz):

@@ -102,11 +102,11 @@ def update_tsdf_nonrigid_sharded(
     def local(values, weights, live, wf, lw_dq):
         idx = jax.lax.axis_index(VOXEL_AXIS)
         x0 = idx * values.shape[0]
-        v, w, esc = update_tsdf_nonrigid(
+        v, w, esc, risk = update_tsdf_nonrigid(
             values, weights, live, wf, lw_dq, k, tdist, wmax,
             brick=brick, n_candidates=n_candidates, x_offset=x0,
         )
-        return v, w, jax.lax.psum(esc, VOXEL_AXIS)
+        return v, w, jax.lax.psum(esc, VOXEL_AXIS), jax.lax.psum(risk, VOXEL_AXIS)
 
     wf_spec = WarpField(
         node_pos=P(), node_dq=P(), node_w=P(), node_vert_idx=P(),
@@ -117,7 +117,7 @@ def update_tsdf_nonrigid_sharded(
             local,
             mesh=mesh,
             in_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS), P(), wf_spec, P()),
-            out_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS), P()),
+            out_specs=(P(VOXEL_AXIS), P(VOXEL_AXIS), P(), P()),
         )
     )
 

@@ -56,12 +56,13 @@ def regularize_verts(verts, vert_mask, flipyz: bool = False):
     return jnp.where(vert_mask[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "S"))
+@partial(jax.jit, static_argnames=("h", "w", "S", "normalize_input"))
 def _descriptors(model_params, verts, faces, face_mask, vert_mask, mvps,
-                 znear, zfar, h: int = 512, w: int = 512, S: int = 8):
+                 znear, zfar, h: int = 512, w: int = 512, S: int = 8,
+                 normalize_input: bool = True):
     """Per-vertex 16-D descriptors averaged over all views (one jitted
     program; reference loop core/sdf.py:126-150)."""
-    model = DHBC()
+    model = DHBC(normalize_input=normalize_input)
     reg = regularize_verts(verts, vert_mask)
     b = zfar * znear / (znear - zfar)
     a = -b / znear
@@ -96,8 +97,25 @@ class CnnCorrespondence:
     compute_correspondence pair, core/sdf.py:75-150)."""
 
     def __init__(self, weights_npz: str | None = None, image_size: int = 512,
-                 n_views: int = 24, znear: float = 1.0, zfar: float = 3.5):
-        self.model, self.params = init_dhbc(h=image_size, w=image_size)
+                 n_views: int = 24, znear: float = 1.0, zfar: float = 3.5,
+                 normalize_input: bool | None = None):
+        """``normalize_input``: None = auto — use the contract recorded in
+        the weights npz; weights files without the marker (converted
+        reference checkpoints) default to False, the reference's raw
+        0..255 feed (core/sdf.py:135-136); random init defaults True."""
+        if normalize_input is None:
+            if weights_npz is not None:
+                from ..models.dhbc import npz_normalize_input
+
+                stored = npz_normalize_input(weights_npz)
+                # no marker = converted reference checkpoint → raw scale
+                normalize_input = False if stored is None else stored
+            else:
+                normalize_input = True
+        self.normalize_input = normalize_input
+        self.model, self.params = init_dhbc(
+            h=image_size, w=image_size, normalize_input=normalize_input
+        )
         if weights_npz is not None:
             self.params = load_npz_params(self.params, weights_npz)
         self.image_size = image_size
@@ -109,6 +127,7 @@ class CnnCorrespondence:
         feats, cnt = _descriptors(
             self.params, verts, faces, face_mask, vert_mask, self.mvps,
             self.znear, self.zfar, h=self.image_size, w=self.image_size,
+            normalize_input=self.normalize_input,
         )
         return jnp.where(vert_mask[:, None], feats, 0.0), cnt
 

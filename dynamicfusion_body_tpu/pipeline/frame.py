@@ -41,6 +41,11 @@ class FrameStats(NamedTuple):
     overflow: jax.Array     # bool: any mesh cap or node pool saturated
                             # this frame (output silently truncated —
                             # grow vert_cap/face_cap/node_cap)
+    pool_risk: jax.Array    # bricks whose 2-level node-candidate pool
+                            # could not be certified == the flat search
+                            # (conservative bound; see warp_field.
+                            # brick_candidates_2level) — monitor, and
+                            # switch to exact candidates if persistent
 
 
 def _canonical_mesh(values, vert_cap, face_cap, step_size):
@@ -232,7 +237,7 @@ def fusion_frame(
     wf = wf.replace(node_dq=node_dq)
 
     # --- non-rigid canonical fusion (153-198)
-    values, weights, esc_dropped = WF.update_tsdf_nonrigid(
+    values, weights, esc_dropped, pool_risk = WF.update_tsdf_nonrigid(
         values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist, wmax=wmax,
         brick=brick, n_candidates=n_candidates, use_pallas=use_pallas,
     )
@@ -256,5 +261,6 @@ def fusion_frame(
             mesh["overflow"] | mesh_out["overflow"] | live_mesh["overflow"]
             | (n_dropped > 0) | (esc_dropped > 0)
         ),
+        pool_risk=pool_risk,
     )
     return values, weights, wf, lw_dq, stats, mesh_out

@@ -371,6 +371,7 @@ class Fusion:
         warpfield_path=None,
         cnn_image_size=512,
         cnn_weights=None,
+        cnn_normalize_input=None,
     ):
         tsdf = np.asarray(tsdf)
         if tsdf.ndim != 3:
@@ -394,8 +395,12 @@ class Fusion:
         if use_cnn:
             from .cnn_correspondence import CnnCorrespondence
 
+            # normalize_input=None → auto from the weights file's recorded
+            # input-scale contract (raw 0..255 for converted reference
+            # checkpoints, normalized for tools/train_dhbc.py outputs)
             self._cnn = CnnCorrespondence(
-                weights_npz=cnn_weights, image_size=cnn_image_size
+                weights_npz=cnn_weights, image_size=cnn_image_size,
+                normalize_input=cnn_normalize_input,
             )
 
         self.volume = TsdfVolume.create(tsdf.shape[0], self._tdist)
@@ -629,7 +634,7 @@ class Fusion:
         use_pallas = jax.default_backend() == "tpu" and trilerp_bricks_supported(
             self._curr_tsdf.shape, brick
         )
-        v, w, esc_dropped = WF.update_tsdf_nonrigid(
+        v, w, esc_dropped, pool_risk = WF.update_tsdf_nonrigid(
             vals, wts, self._curr_tsdf, self._warp, self._lw,
             k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
             n_candidates=min(16, self._node_cap), use_pallas=use_pallas,
@@ -641,6 +646,16 @@ class Fusion:
                 f"updateTSDF: {int(esc_dropped)} in-volume samples exceeded "
                 "the Pallas fixup capacity and were skipped — the warp is "
                 "extreme; use smaller bricks or the XLA path"
+            )
+        if int(pool_risk) > 0:
+            import warnings
+
+            warnings.warn(
+                f"updateTSDF: {int(pool_risk)} bricks could not certify the "
+                "2-level node-candidate pool covers their exact kNN "
+                "(clustered/irregular node distribution); fusion blend "
+                "weights may drift from the flat search there — consider "
+                "exact_candidates=True"
             )
         sx, sy, sz = shape0
         self.volume = self.volume.replace(

@@ -57,12 +57,12 @@ def test_update_nonrigid_sharded_matches_single(rng):
     v0 = jnp.asarray(rng.uniform(-0.2, 0.3, (res, res, res)).astype(np.float32))
     w0 = jnp.asarray((rng.rand(res, res, res) * 4).astype(np.float32))
 
-    want_v, want_w, _ = W.update_tsdf_nonrigid(
+    want_v, want_w, _, _ = W.update_tsdf_nonrigid(
         v0, w0, live, wf, lw, k=k, tdist=tdist, brick=4, n_candidates=16)
 
     upd = sharded.update_tsdf_nonrigid_sharded(
         mesh, k=k, tdist=tdist, brick=4, n_candidates=16)
-    got_v, got_w, _ = upd(_vol_put(mesh, v0), _vol_put(mesh, w0), live, wf, lw)
+    got_v, got_w, _, _ = upd(_vol_put(mesh, v0), _vol_put(mesh, w0), live, wf, lw)
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w), atol=1e-5)
 

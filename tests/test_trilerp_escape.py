@@ -53,10 +53,10 @@ def test_escaped_samples_are_resampled_exactly(rng):
     assert float(spread.max()) > 20.0, float(spread.max())
 
     kw = dict(k=2, tdist=0.5, wmax=100.0, brick=8, n_candidates=4)
-    want_v, want_w, _ = W.update_tsdf_nonrigid(
+    want_v, want_w, _, _ = W.update_tsdf_nonrigid(
         values, weights, live, wf, lw, use_pallas=False, **kw
     )
-    got_v, got_w, esc_dropped = W.update_tsdf_nonrigid(
+    got_v, got_w, esc_dropped, _ = W.update_tsdf_nonrigid(
         values, weights, live, wf, lw, use_pallas=True,
         pallas_interpret=True, pallas_precise=True, **kw
     )

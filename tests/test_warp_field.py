@@ -73,7 +73,7 @@ def test_update_tsdf_nonrigid_vs_reference_loop(rng):
     wts0 = np.where(rng.rand(res, res, res) < 0.3, 0.0,
                     rng.rand(res, res, res) * 5).astype(np.float32)
 
-    got_v, got_w, _ = W.update_tsdf_nonrigid(
+    got_v, got_w, _, _ = W.update_tsdf_nonrigid(
         jnp.array(vals0), jnp.array(wts0), jnp.array(live), wf, jnp.array(lw),
         k=k, tdist=tdist, wmax=wmax, brick=4, n_candidates=n)
     got_v, got_w = np.asarray(got_v), np.asarray(got_w)

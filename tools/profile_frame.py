@@ -1,9 +1,13 @@
 """Per-phase timing of the fused frame's constituents on the real TPU.
 
-Mirrors bench.py's setup, then times each phase as its own jitted program
-with host-fetch completion barriers (block_until_ready is unreliable over
-the axon tunnel). Numbers guide kernel work; the fused frame in bench.py
-remains the ground truth (phases overlap less cleanly there).
+Mirrors bench.py's setup, then times each phase as its own jitted program.
+
+Methodology: the axon tunnel costs 50-180 ms PER dispatch+fetch round
+trip (measured round 3) — naive per-call timing is tunnel noise, not
+device time. Each phase is therefore timed amortized: T(1 call + fetch)
+vs T(reps chained calls + fetch); per-call = (T_n - T_1)/(reps-1).
+Chained calls dispatch async on one stream, so the difference is pure
+device time.
 
 Run: nohup python tools/profile_frame.py > /tmp/profile_frame.txt 2>&1 &
 """
@@ -17,16 +21,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(name, fn, fetch, n=4):
-    fetch(fn())  # warm/compile
-    ts = []
-    for _ in range(n):
+def make_timer(jnp):
+    def f1(x):
+        return float(jnp.ravel(x)[0] if hasattr(x, "ravel") else x)
+
+    def timeit(name, fn, fetch, reps=8):
+        fetch(fn())  # warm/compile
+        fetch(fn())
         t0 = time.time()
         fetch(fn())
-        ts.append(time.time() - t0)
-    ms = float(np.median(ts) * 1000)
-    print(f"{name:32s} {ms:9.2f} ms", flush=True)
-    return ms
+        t1 = time.time() - t0
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        fetch(out)
+        tn = time.time() - t0
+        ms = (tn - t1) / (reps - 1) * 1000.0
+        print(f"{name:32s} {ms:9.2f} ms   (1+fetch: {t1*1000:7.1f})",
+              flush=True)
+        return ms
+
+    return f1, timeit
 
 
 def main():
@@ -54,6 +70,8 @@ def main():
         trilerp_bricks, trilerp_bricks_supported,
     )
 
+    f1, timeit = make_timer(jnp)
+
     canonical = bumpy_sdf(RES, (128, 128, 128), 70.0, 4.0, 3.0, 0.0)
     live = jnp.asarray(bumpy_sdf(RES, (130, 129, 128), 70.0, 4.0, 3.0, 0.1))
     tdist = float(canonical.max())
@@ -66,7 +84,10 @@ def main():
     print(f"# backend={jax.default_backend()} nodes={int(wf.num_active)}",
           flush=True)
 
-    f1 = lambda x: float(jnp.ravel(x)[0] if hasattr(x, "ravel") else x)
+    # tunnel floor for reference
+    triv = jax.jit(lambda x: x + 1.0)
+    z8 = jnp.zeros((8, 128))
+    timeit("tunnel_floor_trivial", lambda: triv(z8), lambda r: f1(r))
 
     # ---- marching cubes ---------------------------------------------------
     mc_live = jax.jit(lambda v: marching_cubes(
@@ -97,6 +118,8 @@ def main():
     pv, pn = WF.warp_points(wf, mesh["verts"], nbr_idx, normals=mesh["normals"])
     rig = jax.jit(lambda: solve_rigid(lw, pv, pn, corr, cvalid, iterations=12))
     timeit("rigid_solve_12", rig, lambda o: f1(o[0]))
+    rig4 = jax.jit(lambda: solve_rigid(lw, pv, pn, corr, cvalid, iterations=4))
+    timeit("rigid_solve_4", rig4, lambda o: f1(o[0]))
 
     # ---- non-rigid solve (one round, 8 GN x 16 CG) ------------------------
     pair_i, pair_j, pair_scale, pmask = make_reg_pairs(
@@ -122,6 +145,11 @@ def main():
         brick=8, n_candidates=16, use_pallas=use_pallas))
     timeit("update_tsdf_full", upd, lambda o: f1(o[0]))
 
+    # brick candidate search alone
+    bc = jax.jit(lambda: WF.brick_candidates_2level(
+        wf, (RES,) * 3, 8, 16))
+    timeit("brick_candidates_2level", bc, lambda o: f1(o))
+
     # trilerp kernel alone on representative warped coords
     NB = (RES // 8) ** 3
     V = 512
@@ -137,8 +165,6 @@ def main():
     timeit("trilerp_pallas_16.7M", lambda: tri(live, wx, wy, wz),
            lambda o: f1(o[0]))
 
-    # knn/blend phase alone (update_tsdf with the trilerp swapped for a
-    # no-op is hard to isolate; approximate as full - trilerp)
     ug = jax.jit(lambda: WF.update_graph(wf, mesh["verts"], vmask, knn_k))
     timeit("update_graph", ug, lambda o: f1(o[0].node_pos))
 
