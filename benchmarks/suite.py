@@ -316,8 +316,160 @@ def config6():
         }))
 
 
+def _make_bend(ref_verts):
+    """Analytic smooth bend about x through the centroid, blended by
+    height (the train_dhbc.py bend_mesh warp with its parameters frozen
+    from ``ref_verts`` so it applies to ARBITRARY points — the ground
+    truth for config7)."""
+    c = ref_verts.mean(0)
+    y = ref_verts[:, 1] - c[1]
+    h = (y.max() - y.min()) + 1e-6
+
+    def bend(pts, angle):
+        p = pts - c
+        t = 1.0 / (1.0 + np.exp(-8.0 * (p[:, 1] / h)))
+        ca, sa = np.cos(angle * t), np.sin(angle * t)
+        out = np.empty_like(p)
+        out[:, 0] = p[:, 0]
+        out[:, 1] = ca * p[:, 1] - sa * p[:, 2]
+        out[:, 2] = sa * p[:, 1] + ca * p[:, 2]
+        return (out + c).astype(np.float32)
+
+    return bend
+
+
+def config7():
+    """Non-rigid END-TO-END accuracy gate (VERDICT r2 item 4): deform the
+    reference's own result mesh (meshes/original.obj — produced by the
+    reference's non-rigid loop, core/fusion.py:577-586) by a KNOWN smooth
+    warp, build live TSDFs by multi-view depth fusion on the canonical
+    lattice, run the full ``Fusion`` loop per frame (setupCorrespondences
+    → solve → updateTSDF → update_graph, the reference flow
+    test.py:104-138), and report, at 64³ and 256³:
+
+    * point-to-SURFACE error of the tracked canonical surface vs the true
+      deformed surface (the primary metric — it is what updateTSDF
+      consumes: a warp that lands on the live surface fuses correctly);
+    * material-point (vertex-correspondence) error as a secondary bound —
+      a smooth bend slides the body along itself and closest-point data
+      terms cannot observe tangential sliding (the ICP aperture problem;
+      the reference's clpts mode shares the null space)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.io.mesh_io import load_obj, regularize_mesh
+    from dynamicfusion_body_tpu.models.tsdf_volume import TsdfVolume
+    from dynamicfusion_body_tpu.ops.interp import trilinear
+    from dynamicfusion_body_tpu.pipeline.fusion import Fusion, FusionDM
+
+    if not os.path.exists(REF_MESH):
+        print(json.dumps({"metric": "config7_nonrigid_vertex_error",
+                          "error": f"missing {REF_MESH}"}))
+        return
+    verts, faces = load_obj(REF_MESH)
+    verts = np.asarray(regularize_mesh(jnp.asarray(verts)))
+    bend = _make_bend(verts)
+    K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
+    angles = [0.08, 0.16, 0.24]
+
+    for res, caps, node_cap in (
+        (64, (1 << 15, 1 << 16), 1024),
+        (256, (1 << 17, 1 << 18), 4096),
+    ):
+        tdist = 8.0 / res * 1.3
+        dm = FusionDM(tdist, K, tsdf_res=res, vert_cap=caps[0],
+                      face_cap=caps[1])
+        depths0, lws = _render_views(verts, faces, K, n_views=8, h=512,
+                                     w=512)
+        canon_v, canon_w = dm.compute_live_tsdf(depths0, lws,
+                                                UseAutoAlignment=True)
+        ind = np.asarray(dm._IND)
+        voxel = float(ind[0, 0])
+        ind_inv = np.linalg.inv(ind)
+
+        fus = Fusion(
+            canon_v, tdist, subsample_rate=2.0, knn=3,
+            marching_cubes_step_size=2, write_warpfield=False,
+            vert_cap=caps[0], face_cap=caps[1], node_cap=node_cap,
+        )
+        # canonical surface sample (grid coords) + world positions
+        m = fus._mesh
+        nv = int(m["n_verts"])
+        gv = np.asarray(m["verts"])[:nv]
+        wv = gv @ ind[:3, :3].T + ind[:3, 3]
+        wts, _ = trilinear(jnp.asarray(canon_w), jnp.asarray(gv))
+        obs = np.asarray(wts) >= 3.0
+
+        # dense true-surface sample for the point-to-surface metric
+        surf = np.concatenate(
+            [verts, verts[faces].mean(1),
+             0.5 * (verts[faces[:, 0]] + verts[faces[:, 1]])], 0
+        )
+
+        def p2s(pts, ang):
+            tgt = jnp.asarray(bend(surf, ang))
+            outs = []
+            pj = jnp.asarray(pts)
+            for i in range(0, len(pts), 2048):
+                d2 = jnp.sum(
+                    (pj[i:i + 2048, None, :] - tgt[None]) ** 2, -1
+                )
+                outs.append(np.asarray(jnp.sqrt(jnp.min(d2, 1))))
+            return np.concatenate(outs)
+
+        t0 = time.time()
+        verr_frames, serr_frames = [], []
+        for ang in angles:
+            bent = bend(verts, ang)
+            depths, _ = _render_views(bent, faces, K, n_views=8, h=512,
+                                      w=512)
+            # live TSDF on the SAME lattice as the canonical volume
+            fresh = TsdfVolume.create(res, tdist, ind=jnp.asarray(ind))
+            dm.volume = fresh
+            live_v, _ = dm._fuse_all(
+                fresh.values, fresh.weights, depths, lws
+            )
+            fus.setupCorrespondences(live_v, method="clpts", tolerance=5.0)
+            fus.solve(regularization_weight=0.5, method="clpts")
+            fus.updateTSDF()
+            fus.update_graph()
+            # tracked canonical surface vs ground-truth deformation
+            tracked_g = fus.warp(gv, m_lw=fus._lw)
+            tracked_w = np.asarray(tracked_g) @ ind[:3, :3].T + ind[:3, 3]
+            truth_w = bend(wv, ang)
+            err = np.linalg.norm(tracked_w - truth_w, axis=1)
+            verr_frames.append(err[obs] if obs.any() else err)
+            serr_frames.append(
+                p2s(tracked_w[obs] if obs.any() else tracked_w, ang)
+            )
+        dt = time.time() - t0
+
+        e, s = verr_frames[-1], serr_frames[-1]
+        s_untracked = p2s(wv[obs] if obs.any() else wv, angles[-1])
+        print(json.dumps({
+            "metric": f"config7_nonrigid_surface_error_{res}",
+            "value": round(float(np.mean(s) / voxel), 3),
+            "unit": "voxels",
+            "mean_err_world": round(float(np.mean(s)), 5),
+            "p95_err_voxels": round(float(np.percentile(s, 95) / voxel), 3),
+            "per_frame_voxels": [
+                round(float(np.mean(x) / voxel), 3) for x in serr_frames
+            ],
+            "untracked_voxels": round(
+                float(np.mean(s_untracked) / voxel), 3
+            ),
+            "vertex_err_voxels": round(float(np.mean(e) / voxel), 3),
+            "vertex_err_per_frame": [
+                round(float(np.mean(x) / voxel), 3) for x in verr_frames
+            ],
+            "final_bend_rad": angles[-1],
+            "n_tracked": int(obs.sum()),
+            "total_s": round(dt, 1),
+        }))
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6}
+           6: config6, 7: config7}
 
 
 def main():

@@ -134,18 +134,21 @@ def update_tsdf_rigid(
     lw_dq: jax.Array,
     tdist: float,
     wmax: float = 100.0,
+    x_offset=0,
 ):
     """Rigid TSDF-to-TSDF fusion: warp each canonical voxel center by the
     global DQ, trilerp the live TSDF, running-average update.
 
     Reference FusionDM.updateTSDF (core/fusion_dm.py:300-316): skip when the
-    sample is out of volume or <= -tdist; wi = 1.
+    sample is out of volume or <= -tdist; wi = 1. ``x_offset`` is the
+    global x index of this block's first plane (sharded path — each
+    device owns an x-slab of the canonical volume).
     """
     from ..ops.dualquat import dq_transform_point
 
     rx, ry, rz = values.shape
     f32 = jnp.float32
-    xs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 0)
+    xs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 0) + x_offset
     ys = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 1)
     zs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 2)
     pos = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)

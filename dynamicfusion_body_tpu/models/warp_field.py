@@ -266,6 +266,106 @@ def brick_candidates_2level(
     return out, jnp.sum(at_risk.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("shape", "k", "brick"))
+def build_warp_cache(
+    wf: WarpField,
+    shape,
+    cand: jax.Array,
+    k: int,
+    brick: int,
+    x_offset=0,
+):
+    """Per-voxel kNN selection cache for ``update_tsdf_nonrigid``.
+
+    The per-voxel top-k node choice, its Gaussian blend weights, and the
+    averaging weight wi = mean node distance (reference
+    core/fusion.py:175,182-183,527-544) depend ONLY on (node_pos, node_w,
+    active) — quantities that change exclusively when ``update_graph``
+    inserts nodes — never on the per-frame ``node_dq``. So the entire kNN
+    stage is computed once per node-set revision and the per-frame kernel
+    reduces to blend-matmul + normalize + sandwich + trilerp.
+
+    Returns ``(sel, selw, wi)``:
+      sel  (NB, V) int32 — the j-th selected candidate SLOT (within the
+           brick's C-entry candidate list) packed in bits [5j, 5j+5)
+           (requires C <= 32, k <= 6);
+      selw (NB, k, V) f32 — the Gaussian blend weight of each selection,
+           exactly the ``wk`` the uncached kernel computes (0 where the
+           selection was inactive/out-of-pool), in selection order, so
+           rebuilding wsel by summing disjoint one-hots is bit-identical;
+      wi   (NB, V) f32 — mean distance over the finite selections.
+    """
+    rx, ry, rz = shape
+    nbx, nby, nbz = rx // brick, ry // brick, rz // brick
+    C = cand.shape[1]
+    if C > 32 or k > 6:
+        raise ValueError(f"cache packing needs C<=32, k<=6 (got {C}, {k})")
+    V = brick * brick * brick
+    nbs = nby * nbz
+    f32 = jnp.float32
+    big = jnp.float32(3.4e38)
+
+    ox = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 0).reshape(-1)
+    oy = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 1).reshape(-1)
+    oz = jax.lax.broadcasted_iota(f32, (brick, brick, brick), 2).reshape(-1)
+    by0 = jax.lax.broadcasted_iota(f32, (nby, nbz), 0).reshape(-1) * brick
+    bz0 = jax.lax.broadcasted_iota(f32, (nby, nbz), 1).reshape(-1) * brick
+
+    def slab(s):
+        cidx = jax.lax.dynamic_slice_in_dim(cand, s * nbs, nbs, 0)
+        cflat = cidx.reshape(-1)
+        ncx = jnp.take(wf.node_pos[:, 0], cflat, axis=0).reshape(nbs, C)
+        ncy = jnp.take(wf.node_pos[:, 1], cflat, axis=0).reshape(nbs, C)
+        ncz = jnp.take(wf.node_pos[:, 2], cflat, axis=0).reshape(nbs, C)
+        ncw = jnp.take(wf.node_w, cflat, axis=0).reshape(nbs, C)
+        nact = jnp.take(wf.active, cflat, axis=0).reshape(nbs, C)
+
+        pxv = (s * brick + x_offset) + ox[None, :]
+        pxv = jnp.broadcast_to(pxv, (nbs, V))
+        pyv = by0[:, None] + oy[None, :]
+        pzv = bz0[:, None] + oz[None, :]
+
+        dx = pxv[:, None, :] - ncx[:, :, None]
+        dy = pyv[:, None, :] - ncy[:, :, None]
+        dz = pzv[:, None, :] - ncz[:, :, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(nact[:, :, None], d2, big)
+
+        sel = jnp.zeros((nbs, V), jnp.int32)
+        ws = []
+        wi_sum = jnp.zeros((nbs, V), f32)
+        wi_cnt = jnp.zeros((nbs, V), f32)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (nbs, C, V), 1)
+        for j in range(k):
+            bc = jnp.argmin(d2, axis=1)                 # (nbs, V)
+            chosen = iota_c == bc[:, None, :]
+            best_d2 = jnp.min(d2, axis=1)
+            dk = jnp.sqrt(jnp.minimum(best_d2, big))
+            w_node = jnp.sum(
+                jnp.where(chosen, ncw[:, :, None], 0.0), axis=1
+            )
+            a_node = jnp.any(chosen & nact[:, :, None], axis=1)
+            finite = a_node & (best_d2 < 1e18)
+            wk = jnp.where(
+                finite, jnp.exp(-((dk / (2.0 * w_node)) ** 2)), 0.0
+            )
+            sel = sel | (bc << (5 * j))
+            ws.append(wk)
+            wi_sum = wi_sum + jnp.where(finite, dk, 0.0)
+            wi_cnt = wi_cnt + finite.astype(f32)
+            d2 = jnp.where(chosen, big, d2)
+        wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
+        return sel, jnp.stack(ws, axis=1), wi
+
+    sels, ws, wis = jax.lax.map(slab, jnp.arange(nbx))
+    NB = nbx * nbs
+    return (
+        sels.reshape(NB, V),
+        ws.reshape(NB, k, V),
+        wis.reshape(NB, V),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -289,6 +389,8 @@ def update_tsdf_nonrigid(
     pallas_interpret: bool = False,
     pallas_precise: bool = False,
     exact_candidates: bool = False,
+    cand_cache=None,
+    warp_cache=None,
 ):
     """Non-rigid canonical TSDF fusion — the reference's hottest loop
     (core/fusion.py:153-198) as a fused, brick-chunked device computation.
@@ -313,6 +415,11 @@ def update_tsdf_nonrigid(
     finding: clustered/irregular node distributions can exceed the fixed
     super-brick pool).
 
+    ``warp_cache``: an optional ``build_warp_cache`` result for THIS node
+    set and THIS ``cand`` list — skips the per-voxel kNN stage entirely
+    (selection + Gaussian weights + wi are node-dq-independent and
+    bit-identical to the computed path; see build_warp_cache).
+
     TPU layout note: all per-voxel intermediates are 1-D (N,) component
     arrays (structure-of-arrays) — (N,3)/(N,C,3) shapes would pad their
     minor dims to the (8,128) tile and blow HBM 42× at 256³.
@@ -324,7 +431,13 @@ def update_tsdf_nonrigid(
     C = n_candidates
     V = brick * brick * brick
     nbs = nby * nbz  # bricks per x-slab
-    if exact_candidates:
+    if cand_cache is not None:
+        # (cand, pool_risk) computed for THIS node set by the caller —
+        # node positions only change on insertion, so per-brick candidate
+        # lists are reusable across frames (pipeline/frame.py threads
+        # them through the returned mesh dict and recomputes on insert).
+        cand, pool_risk = cand_cache
+    elif exact_candidates:
         cand = brick_candidates(
             wf, values.shape, brick, C, x_offset=x_offset
         )
@@ -350,6 +463,36 @@ def update_tsdf_nonrigid(
     bz0 = (
         jax.lax.broadcasted_iota(f32, (nby, nbz), 1).reshape(-1) * brick
     )
+
+    def slab_cached(s):
+        """Blend-only slab: the kNN selection comes from ``warp_cache``."""
+        sel_c, selw_c, wi_c = warp_cache
+        kk = selw_c.shape[1]
+        cidx = jax.lax.dynamic_slice_in_dim(cand, s * nbs, nbs, 0)
+        ndq = jnp.take(
+            wf.node_dq, cidx.reshape(-1), axis=0
+        ).reshape(nbs, C, 8)
+        sel = jax.lax.dynamic_slice_in_dim(sel_c, s * nbs, nbs, 0)
+        sw = jax.lax.dynamic_slice_in_dim(selw_c, s * nbs, nbs, 0)
+        wi = jax.lax.dynamic_slice_in_dim(wi_c, s * nbs, nbs, 0)
+
+        pxv = (s * brick + x_offset) + ox[None, :]
+        pxv = jnp.broadcast_to(pxv, (nbs, V))
+        pyv = by0[:, None] + oy[None, :]
+        pzv = bz0[:, None] + oz[None, :]
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (nbs, C, V), 1)
+        wsel = jnp.zeros((nbs, C, V), f32)
+        for j in range(kk):
+            slot = (sel >> (5 * j)) & 31
+            wsel = wsel + jnp.where(
+                iota_c == slot[:, None, :], sw[:, j][:, None, :], 0.0
+            )
+        acc = jnp.einsum("bce,bcv->bev", ndq, wsel, precision=hi)
+        se3 = dq_normalize8_c(tuple(acc[:, e, :] for e in range(8)))
+        wx, wy, wz = dq_point_c(se3, (pxv, pyv, pzv))
+        wx, wy, wz = dq_point_c(lw, (wx, wy, wz))
+        return wx, wy, wz, wi
 
     def slab(s):
         # ---- brick-level gathers (small: nbs·C) -------------------------
@@ -428,16 +571,30 @@ def update_tsdf_nonrigid(
             axis=1,
         )
         g = next(g for g in (16, 8, 4, 2, 1) if nbz % g == 0)
-        tsdf_l, valid, escaped, wi, wx, wy, wz = warp_trilerp_bricks(
-            live, node_table, cand, lw_dq, vol_shape=values.shape,
-            brick=brick, k=k, x_offset=x_offset, group=g,
-            interpret=pallas_interpret, precise=pallas_precise,
-        )
+        if warp_cache is not None:
+            from ..ops.trilerp_pallas import warp_trilerp_bricks_cached
+
+            sel_c, selw_c, wi = warp_cache
+            tsdf_l, valid, escaped, wx, wy, wz = warp_trilerp_bricks_cached(
+                live, node_table, cand, sel_c, selw_c, lw_dq,
+                vol_shape=values.shape, brick=brick,
+                x_offset=x_offset, group=g,
+                interpret=pallas_interpret, precise=pallas_precise,
+            )
+        else:
+            tsdf_l, valid, escaped, wi, wx, wy, wz = warp_trilerp_bricks(
+                live, node_table, cand, lw_dq, vol_shape=values.shape,
+                brick=brick, k=k, x_offset=x_offset, group=g,
+                interpret=pallas_interpret, precise=pallas_precise,
+            )
     else:
         # warp every voxel (brick-major) in x-slabs, then sample the live
         # volume through the XLA gather path, then apply the running
         # average in one vectorized pass over the (NB, V) brick layout.
-        wxs, wys, wzs, wis = jax.lax.map(slab, jnp.arange(nbx))
+        wxs, wys, wzs, wis = jax.lax.map(
+            slab_cached if warp_cache is not None else slab,
+            jnp.arange(nbx),
+        )
         wx = wxs.reshape(NB, V)
         wy = wys.reshape(NB, V)
         wz = wzs.reshape(NB, V)

@@ -420,6 +420,162 @@ def _warp_kernel(live_ref, nodes_ref, cand_ref, lw_ref, xoff_ref,
         wz_ref[g, :] = wzs[g]
 
 
+def _warp_kernel_cached(live_ref, nodes_ref, cand_ref, sel_ref, selw_ref,
+                        lw_ref, xoff_ref,
+                        vals_ref, valid_ref, esc_ref,
+                        wx_ref, wy_ref, wz_ref, boxes, sems,
+                        *, group, R, precise, bz, k, brick, nby, nbz):
+    """_warp_kernel with the per-voxel kNN stage REPLACED by the
+    build_warp_cache selection (models/warp_field.py): the top-k slots
+    and Gaussian weights are node-dq-independent, so the per-frame work
+    is blend + normalize + sandwich + trilerp. ``wi`` lives in the cache
+    and never enters the kernel."""
+    from .compwise import dq_normalize8_c, dq_point_c
+
+    rx, ry, rz = R
+    f32 = jnp.float32
+    V = sel_ref.shape[1]
+    C = cand_ref.shape[1]
+    K = BX * BY
+
+    vidx = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)[0]
+    ox = (vidx // (brick * brick)).astype(f32)
+    oy = ((vidx // brick) % brick).astype(f32)
+    oz = (vidx % brick).astype(f32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, V), 0)
+    lw = tuple(lw_ref[0, e] for e in range(8))
+
+    i0 = pl.program_id(0)
+    x_offset = xoff_ref[0, 0]
+    accs, poss = [], []
+    for g in range(group):
+        b = i0 * group + g
+        bx0 = (b // (nby * nbz)) * brick + x_offset
+        by0 = ((b // nbz) % nby) * brick
+        bz0 = (b % nbz) * brick
+        pxv = bx0.astype(f32) + ox
+        pyv = by0.astype(f32) + oy
+        pzv = bz0.astype(f32) + oz
+
+        cd = jnp.concatenate(
+            [nodes_ref[pl.ds(cand_ref[g, c], 1), :] for c in range(C)],
+            axis=0,
+        )                                      # (C, 16) packed node data
+        sel = sel_ref[g, :]                    # (V,) packed slots
+        wsel = jnp.zeros((C, V), f32)
+        for j in range(k):
+            slot = (sel >> (5 * j)) & 31
+            wsel = wsel + jnp.where(
+                iota_c == slot[None, :], selw_ref[g, j, :][None, :], 0.0
+            )
+        accs.append(tuple(
+            jnp.sum(cd[:, 5 + e:6 + e] * wsel, axis=0) for e in range(8)
+        ))
+        poss.append((pxv, pyv, pzv))
+
+    acc2 = tuple(
+        jnp.stack([accs[g][e] for g in range(group)]) for e in range(8)
+    )
+    se3 = dq_normalize8_c(acc2)
+    p2 = tuple(
+        jnp.stack([poss[g][c] for g in range(group)]) for c in range(3)
+    )
+    wx2, wy2, wz2 = dq_point_c(se3, p2)
+    wx2, wy2, wz2 = dq_point_c(lw, (wx2, wy2, wz2))
+    wxs = [wx2[g] for g in range(group)]
+    wys = [wy2[g] for g in range(group)]
+    wzs = [wz2[g] for g in range(group)]
+    invols = [_in_volume(wxs[g], wys[g], wzs[g], R) for g in range(group)]
+
+    mx, my, mzs = _box_mins(wxs, wys, wzs, invols, R, bz)
+    copy = pltpu.make_async_copy(
+        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
+    )
+    copy.start()
+    cst = _interp_consts(V, bz, precise)
+    copy.wait()
+    box2 = boxes[...].reshape(K, rz)
+    for g in range(group):
+        out, inbox = _interp_one(
+            box2, cst, wxs[g], wys[g], wzs[g], mx, my, mzs[g], R, bz,
+            precise,
+        )
+        invol = invols[g]
+        vals_ref[g, :] = out
+        valid_ref[g, :] = (invol & inbox).astype(f32)
+        esc_ref[g, :] = (invol & jnp.logical_not(inbox)).astype(f32)
+        wx_ref[g, :] = wxs[g]
+        wy_ref[g, :] = wys[g]
+        wz_ref[g, :] = wzs[g]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "vol_shape", "brick", "group", "interpret", "precise",
+    ),
+)
+def warp_trilerp_bricks_cached(
+    live: jax.Array,
+    node_table: jax.Array,
+    cand_idx: jax.Array,
+    sel: jax.Array,
+    selw: jax.Array,
+    lw_dq: jax.Array,
+    vol_shape,
+    brick: int = 8,
+    x_offset=0,
+    group: int = 8,
+    interpret: bool = False,
+    precise: bool = False,
+):
+    """``warp_trilerp_bricks`` with the kNN stage from a
+    ``build_warp_cache`` result: sel (NB, V) int32 packed slots, selw
+    (NB, k, V) f32 Gaussian weights. Returns
+    (vals, valid, escaped, wx, wy, wz) — no wi (it lives in the cache)."""
+    rx, ry, rz = vol_shape
+    NB, C = cand_idx.shape
+    V = brick ** 3
+    k = selw.shape[1]
+    bz = min(BZ, rz)
+    assert NB % group == 0, (NB, group)
+    grid = NB // group
+    spec = pl.BlockSpec((group, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sds = jax.ShapeDtypeStruct((NB, V), jnp.float32)
+    xoff = jnp.asarray(x_offset, jnp.int32).reshape(1, 1)
+    vals, valid, esc, wx, wy, wz = pl.pallas_call(
+        partial(
+            _warp_kernel_cached, group=group, R=vol_shape, precise=precise,
+            bz=bz, k=k, brick=brick,
+            nby=ry // brick, nbz=rz // brick,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # live stays in HBM
+            pl.BlockSpec(node_table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, C), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, k, V), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec,) * 6,
+        out_shape=(sds,) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((BX, BY, rz), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(live, node_table, cand_idx, sel, selw, lw_dq.reshape(1, 8), xoff)
+    return vals, valid > 0.5, esc > 0.5, wx, wy, wz
+
+
 @partial(
     jax.jit,
     static_argnames=(

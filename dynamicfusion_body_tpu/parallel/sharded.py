@@ -53,29 +53,9 @@ def update_tsdf_rigid_sharded(mesh: Mesh, tdist: float, wmax: float = 100.0):
 
     def local(values, weights, live, lw_dq):
         idx = jax.lax.axis_index(VOXEL_AXIS)
-        rx = values.shape[0]
-        # global x coords for this slab: recompute via offset trick — the
-        # rigid kernel builds its own iota, so shift through a dummy pad:
-        # simplest correct route: call the pointwise math on offset coords.
-        from ..ops.dualquat import dq_transform_point
-        from ..ops.interp import trilinear
-
-        _, ry, rz = values.shape
-        f32 = jnp.float32
-        xs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 0) + idx * rx
-        ys = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 1)
-        zs = jax.lax.broadcasted_iota(f32, (rx, ry, rz), 2)
-        pos = jnp.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
-        warped = dq_transform_point(lw_dq, pos)
-        tsdf_l, valid = trilinear(live, warped)
-        tsdf_l = tsdf_l.reshape(values.shape)
-        valid = valid.reshape(values.shape)
-        upd = valid & (tsdf_l > -tdist)
-        new_w = weights + 1.0
-        new_vals = (values * weights + jnp.minimum(tdist, tsdf_l)) / new_w
-        return (
-            jnp.where(upd, new_vals, values),
-            jnp.where(upd, jnp.minimum(new_w, wmax), weights),
+        x0 = idx * values.shape[0]
+        return update_tsdf_rigid(
+            values, weights, live, lw_dq, tdist, wmax, x_offset=x0
         )
 
     return jax.jit(

@@ -24,11 +24,13 @@ import jax.numpy as jnp
 
 from ..models import warp_field as WF
 from ..ops.marching_cubes import marching_cubes
-from ..solvers.nonrigid import make_reg_pairs, solve_nonrigid
+from ..solvers.nonrigid import make_reg_pairs, relaxation_step, solve_nonrigid
 from ..solvers.rigid import solve_rigid
 from .correspondence import (
     closest_point_correspondences,
     closest_point_correspondences_grid,
+    correspondence_candidates,
+    correspondences_from_candidates,
 )
 
 
@@ -46,6 +48,12 @@ class FrameStats(NamedTuple):
                             # (conservative bound; see warp_field.
                             # brick_candidates_2level) — monitor, and
                             # switch to exact candidates if persistent
+    corr_risk: jax.Array    # vertices (summed over solve rounds) whose
+                            # cached-candidate correspondence could not
+                            # be certified == a fresh exact search (ball
+                            # certificate in correspondences_from_
+                            # candidates) — conservative; 0 on the grid
+                            # path
 
 
 def _canonical_mesh(values, vert_cap, face_cap, step_size):
@@ -105,7 +113,7 @@ def init_canonical(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
         "tolerance", "brick", "n_candidates", "update_graph", "use_pallas",
-        "use_grid_corr", "approx_knn",
+        "use_grid_corr", "approx_knn", "reuse_corr", "allow_large",
     ),
 )
 def fusion_frame(
@@ -133,6 +141,8 @@ def fusion_frame(
     use_pallas: bool = False,
     use_grid_corr: bool = False,
     approx_knn: bool = False,
+    reuse_corr: bool = True,
+    allow_large: bool = False,
     canon_mesh=None,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
@@ -145,6 +155,23 @@ def fusion_frame(
         live_vert_cap = vert_cap
     if live_face_cap is None:
         live_face_cap = face_cap
+    # Volume-scale guard: the single-dispatch fused frame is the right
+    # execution shape up to ~256³, but at 512³ its one-program peak live
+    # set thrashes HBM on a 16 GB chip — measured 67-152 s/frame,
+    # nondeterministic, vs ~4.6 s through the multi-dispatch driver
+    # (docs/tpu_kernel_notes.md "Fused-frame memory behavior",
+    # benchmarks/bench512.py). Refuse rather than silently degrade.
+    n_vox = 1
+    for d in values.shape:
+        n_vox *= int(d)
+    if n_vox > (1 << 26) and not allow_large:  # > 64M voxels (~406³)
+        raise ValueError(
+            f"fusion_frame: volume {values.shape} ({n_vox/1e6:.0f}M voxels)"
+            " exceeds the single-dispatch HBM budget (measured thrashing at"
+            " 512³; docs/tpu_kernel_notes.md). Use the multi-dispatch"
+            " driver pipeline.fusion.Fusion (see benchmarks/bench512.py)"
+            " or pass allow_large=True to override."
+        )
     # canonical mesh: the reference reuses the mesh from the previous
     # frame's update_graph (identical volume ⇒ identical mesh) — pass the
     # previous frame's returned mesh as ``canon_mesh`` to skip recomputing.
@@ -164,23 +191,60 @@ def fusion_frame(
 
     grid_n = (max(live.shape) + 15) // 16
 
-    def correspondences(wf_, lw_):
-        wv, wn = WF.warp_points(
-            wf_, mesh["verts"], nbr_idx, normals=mesh["normals"], m_lw=lw_
-        )
-        if use_grid_corr:
-            return closest_point_correspondences_grid(
+    # ONE full candidate search per frame at the frame-entry warp state;
+    # every later round re-ranks the cached candidate set under its
+    # updated warp with a drift certificate (correspondence_candidates
+    # docstring; the reference re-queries its KDTree per round,
+    # core/fusion.py:371 → 251-276, but inter-round warp drift is
+    # sub-voxel and divergence is counted in corr_risk, never silent).
+    wv0, wn0 = WF.warp_points(
+        wf, mesh["verts"], nbr_idx, normals=mesh["normals"], m_lw=lw_dq
+    )
+    cand_risk = jnp.int32(0)
+    if use_grid_corr:
+        def correspondences(wf_, lw_):
+            wv, wn = WF.warp_points(
+                wf_, mesh["verts"], nbr_idx, normals=mesh["normals"],
+                m_lw=lw_,
+            )
+            c, v, bc = closest_point_correspondences_grid(
                 wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
                 grid_n=grid_n,
             )
-        return closest_point_correspondences(
-            wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
+            return c, v, bc, jnp.int32(0)
+    elif reuse_corr:
+        cand_idx, d_kc, cand_risk = correspondence_candidates(
+            wv0, vmask, live_mesh["verts"], lmask, kc=max(4 * knn_k, 16),
             approx=approx_knn,
         )
 
+        def correspondences(wf_, lw_):
+            wv, wn = WF.warp_points(
+                wf_, mesh["verts"], nbr_idx, normals=mesh["normals"],
+                m_lw=lw_,
+            )
+            return correspondences_from_candidates(
+                wv, wn, vmask, live_mesh["verts"], lmask, cand_idx, d_kc,
+                wv0, knn_k, tolerance,
+            )
+    else:
+        # fresh full search every round — the reference's literal behavior
+        # (core/fusion.py:371 → 251-276); the conservative arm of the
+        # bench accuracy cross-check.
+        def correspondences(wf_, lw_):
+            wv, wn = WF.warp_points(
+                wf_, mesh["verts"], nbr_idx, normals=mesh["normals"],
+                m_lw=lw_,
+            )
+            c, v, bc = closest_point_correspondences(
+                wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
+                approx=approx_knn,
+            )
+            return c, v, bc, jnp.int32(0)
+
     # --- rigid presolve (core/fusion.py:350-364): residuals on node-field
     # pre-warped points, pose applied on top
-    corr, cvalid, _ = correspondences(wf, lw_dq)
+    corr, cvalid, _, risk0 = correspondences(wf, lw_dq)
     pv, pn = WF.warp_points(wf, mesh["verts"], nbr_idx, normals=mesh["normals"])
     lw_dq, _ = solve_rigid(lw_dq, pv, pn, corr, cvalid, iterations=12)
 
@@ -200,7 +264,7 @@ def fusion_frame(
 
         def run(args):
             node_dq, lw_, rw = args
-            corr_, cval_, _ = correspondences(
+            corr_, cval_, _, risk_ = correspondences(
                 wf.replace(node_dq=node_dq), lw_
             )
             pair_scale = rw * base_scale
@@ -213,43 +277,91 @@ def fusion_frame(
                 node_dq, *data_args, *reg_args, lw_,
                 gn_iters=gn_iters, cg_iters=cg_iters, dense_pairs=True,
             )
-            return new_dq, cb, ca
+            return new_dq, cb, ca, risk_
 
         def skip(args):
             node_dq, _, _ = args
-            return node_dq, jnp.float32(0.0), jnp.float32(0.0)
+            return node_dq, jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0)
 
         # deactivated rounds are genuinely skipped (the reference breaks
         # out of its iteration loop, core/fusion.py:405-412)
-        node_dq, cb, ca = jax.lax.cond(act, run, skip, (node_dq, lw_, rw))
-        reduct = (cb - ca) / jnp.maximum(cb, 1e-30)
-        relax = (reduct > 0.05) & (reduct < 0.9)
-        rw = jnp.where(act & relax, rw / 8.0, rw)
+        node_dq, cb, ca, risk_ = jax.lax.cond(
+            act, run, skip, (node_dq, lw_, rw)
+        )
+        relax, rw_next = relaxation_step(cb, ca, rw)
+        rw = jnp.where(act, rw_next, rw)
         act = act & relax
-        return (node_dq, lw_, rw, act), (cb, ca)
+        return (node_dq, lw_, rw, act), (cb, ca, risk_)
 
     rw0 = jnp.asarray(regularization_weight, jnp.float32)
-    (node_dq, lw_dq, _, _), (cbs, cas) = jax.lax.scan(
+    (node_dq, lw_dq, _, _), (cbs, cas, risks) = jax.lax.scan(
         round_fn,
         (wf.node_dq, lw_dq, rw0, jnp.bool_(True)),
         jnp.arange(solve_iters),
     )
     wf = wf.replace(node_dq=node_dq)
+    corr_risk = cand_risk + risk0 + jnp.sum(risks)
 
-    # --- non-rigid canonical fusion (153-198)
+    # --- non-rigid canonical fusion (153-198). The per-brick node
+    # candidate lists AND the per-voxel kNN selection/blend-weight/wi
+    # cache depend only on (node_pos, node_w, active), which change ONLY
+    # when update_graph inserts nodes — so the previous frame's caches
+    # (threaded through the returned mesh dict) are exact and both
+    # searches amortize to the insertion frames.
+    if canon_mesh is not None and "brick_cand" in canon_mesh:
+        cand_cache = (canon_mesh["brick_cand"], canon_mesh["brick_risk"])
+        warp_cache = (canon_mesh["warp_sel"], canon_mesh["warp_selw"],
+                      canon_mesh["warp_wi"])
+    else:
+        cand_cache = WF.brick_candidates_2level(
+            wf, values.shape, brick, n_candidates, with_risk=True,
+            risk_k=knn_k,
+        )
+        warp_cache = WF.build_warp_cache(
+            wf, values.shape, cand_cache[0], knn_k, brick
+        )
     values, weights, esc_dropped, pool_risk = WF.update_tsdf_nonrigid(
         values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist, wmax=wmax,
         brick=brick, n_candidates=n_candidates, use_pallas=use_pallas,
+        cand_cache=cand_cache, warp_cache=warp_cache,
     )
 
     # --- deformation-graph maintenance (201-239)
     n_dropped = jnp.int32(0)
     if update_graph:
         mesh2, vmask2 = _canonical_mesh(values, vert_cap, face_cap, mc_step)
+        n_act0 = wf.num_active
         wf, n_dropped = WF.update_graph(wf, mesh2["verts"], vmask2, knn_k)
+        n_inserted = wf.num_active - n_act0
         mesh_out = mesh2
     else:
+        n_inserted = jnp.int32(0)
         mesh_out = mesh
+
+    # refresh the candidate + warp caches for the next frame only when
+    # the node set actually changed (XLA conditional: the recompute
+    # branch runs only on insertion frames)
+    wf_next = wf
+
+    def _recompute(_):
+        cc = WF.brick_candidates_2level(
+            wf_next, values.shape, brick, n_candidates, with_risk=True,
+            risk_k=knn_k,
+        )
+        wc = WF.build_warp_cache(
+            wf_next, values.shape, cc[0], knn_k, brick
+        )
+        return cc + wc
+
+    cand_next = jax.lax.cond(
+        n_inserted > 0, _recompute,
+        lambda _: cand_cache + warp_cache, None,
+    )
+    mesh_out = dict(
+        mesh_out, brick_cand=cand_next[0], brick_risk=cand_next[1],
+        warp_sel=cand_next[2], warp_selw=cand_next[3],
+        warp_wi=cand_next[4],
+    )
 
     stats = FrameStats(
         cost_before=cbs,
@@ -262,5 +374,6 @@ def fusion_frame(
             | (n_dropped > 0) | (esc_dropped > 0)
         ),
         pool_risk=pool_risk,
+        corr_risk=corr_risk,
     )
     return values, weights, wf, lw_dq, stats, mesh_out

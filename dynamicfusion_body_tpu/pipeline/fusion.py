@@ -36,7 +36,7 @@ from ..ops import (
     estimate_alignment,
 )
 from ..ops.marching_cubes import marching_cubes
-from ..solvers.nonrigid import make_reg_pairs, solve_nonrigid
+from ..solvers.nonrigid import make_reg_pairs, relaxation_step, solve_nonrigid
 from ..solvers.rigid import solve_rigid
 from ..io.mesh_io import save_obj
 from ..io.warpfield_io import save_warp_field
@@ -411,6 +411,9 @@ class Fusion:
         self._mesh = None
         self._correspondences = None
         self._corr_valid = None
+        self._corr_tolerance = 0.2   # reference default, core/fusion.py:243
+        self._corr_live_mc_step = 1
+        self._upd_cache = None       # (key, cand, risk, warp_cache)
         self.InitializeCanonicalSpace()
 
     # ------------------------------------------------------------------ #
@@ -503,7 +506,15 @@ class Fusion:
         point-to-plane cost instead of deleting vertices.
         ``live_mc_step``: extraction stride of the live mesh — the
         reference uses 1 (core/fusion.py:247); ≥2 bounds the live vertex
-        pool at 512³+ volumes."""
+        pool at 512³+ volumes.
+
+        ``tolerance`` and ``live_mc_step`` are remembered and reused by
+        ``solve``'s internal refreshes. (The reference's refresh calls
+        fall back to the 0.2 default, core/fusion.py:371 vs :243 — a
+        units quirk that starves the data term whenever the caller's
+        tolerance differs; we keep the caller's intent instead.)"""
+        self._corr_tolerance = float(tolerance)
+        self._corr_live_mc_step = int(live_mc_step)
         self._curr_tsdf = jnp.asarray(curr_tsdf, dtype=jnp.float32)
         live = self.marching_cubes(self._curr_tsdf, step_size=live_mc_step)
         m = self._mesh
@@ -574,13 +585,21 @@ class Fusion:
 
                 print("global transformation found:", np.asarray(dq_to_se3(self._lw)))
             if method == "clpts":
-                self.setupCorrespondences(self._curr_tsdf, method="clpts")
+                self.setupCorrespondences(
+                    self._curr_tsdf, method="clpts",
+                    tolerance=self._corr_tolerance,
+                    live_mc_step=self._corr_live_mc_step,
+                )
 
         m = self._mesh
         rw = float(regularization_weight)
         for it in range(iteration):
             if it > 0 and correspondences is None:
-                self.setupCorrespondences(self._curr_tsdf, method="clpts")
+                self.setupCorrespondences(
+                    self._curr_tsdf, method="clpts",
+                    tolerance=self._corr_tolerance,
+                    live_mc_step=self._corr_live_mc_step,
+                )
 
             pair_i, pair_j, pair_scale, pair_mask = make_reg_pairs(
                 self._warp.node_vert_idx, self._nbr_idx, self._warp.node_w,
@@ -608,10 +627,13 @@ class Fusion:
                     % (self._itercounter, cost_after)
                 )
 
-            reduct = (cost_before - cost_after) / max(cost_before, 1e-30)
-            if 0.05 < reduct < 0.9:
-                rw /= 8.0
+            cont, rw_new = relaxation_step(cost_before, cost_after, rw)
+            if bool(cont):
+                rw = float(rw_new)
                 if self._verbose:
+                    reduct = (cost_before - cost_after) / max(
+                        cost_before, 1e-30
+                    )
                     print("Cost reduction rate:", reduct)
             else:
                 break
@@ -634,10 +656,24 @@ class Fusion:
         use_pallas = jax.default_backend() == "tpu" and trilerp_bricks_supported(
             self._curr_tsdf.shape, brick
         )
+        # candidate + kNN-selection caches: node-dq-independent, valid
+        # until update_graph changes the node set (it clears them)
+        C = min(16, self._node_cap)
+        if self._upd_cache is None or self._upd_cache[0] != (brick, C):
+            cand, pool_risk0 = WF.brick_candidates_2level(
+                self._warp, vals.shape, brick, C, with_risk=True,
+                risk_k=self._knn,
+            )
+            wc = WF.build_warp_cache(
+                self._warp, vals.shape, cand, self._knn, brick
+            )
+            self._upd_cache = ((brick, C), cand, pool_risk0, wc)
+        _, cand, pool_risk0, wc = self._upd_cache
         v, w, esc_dropped, pool_risk = WF.update_tsdf_nonrigid(
             vals, wts, self._curr_tsdf, self._warp, self._lw,
             k=self._knn, tdist=self._tdist, wmax=wmax, brick=brick,
-            n_candidates=min(16, self._node_cap), use_pallas=use_pallas,
+            n_candidates=C, use_pallas=use_pallas,
+            cand_cache=(cand, pool_risk0), warp_cache=wc,
         )
         if int(esc_dropped) > 0:
             import warnings
@@ -672,6 +708,7 @@ class Fusion:
         self._warp, n_dropped = WF.update_graph(
             self._warp, m["verts"], vmask, self._knn
         )
+        self._upd_cache = None  # node set changed: kNN caches invalid
         if int(n_dropped) > 0:
             import warnings
 

@@ -26,6 +26,17 @@ iterations via ``lax.cond`` — once the relative cost reduction drops below
 ``ftol``, mirroring scipy's ftol termination (the reference passes
 ftol=1e-5, core/fusion.py:391).
 
+Damping is Levenberg-Marquardt-adaptive: a rejected step (energy increase
+— GN overshoot far from the optimum, where the linearization is poor)
+retries INSIDE the same GN round with 10× the damping, reusing the
+already-built Jacobians/normal blocks — a retry costs one CG solve + one
+residual pass, not a Jacobian rebuild; an accepted step relaxes damping
+3×. Without this, a first-step rejection silently returned the input
+unchanged (measured: the large-deformation tracking gate stalled at
+cost0 == cost1 with fixed damping 1e-4, while damping 1e-2 cut the cost
+4×) — the fixed-damping design only converged in the small-motion bench
+regime.
+
 The same GN core runs single-chip and under ``shard_map`` — the sharded
 variant (parallel/sharded.py) passes a ``psum`` hook applied to every
 data-term reduction; the solver math exists once.
@@ -45,6 +56,31 @@ from ..ops.dualquat import (
 )
 from ..ops.losses import huber_irls_weight
 from ..ops.search import searchsorted1d
+
+# LM retries per GN round: base damping 1e-4 escalates through 1e-3 …
+# 1e-1 — the measured recovery regime for large-deformation first steps
+# is ~1e-2 (solvers/nonrigid.py docstring), comfortably inside 4 tries.
+MAX_LM_RETRIES = 4
+
+# The reference's regularization-relaxation schedule constants
+# (core/fusion.py:405-412): keep iterating (and divide the weight by
+# RELAX_DIV) only while the relative cost reduction is inside
+# (RELAX_LO, RELAX_HI).
+RELAX_DIV = 8.0
+RELAX_LO = 0.05
+RELAX_HI = 0.9
+
+
+def relaxation_step(cost_before, cost_after, rw):
+    """One step of the reference's relaxation schedule. Returns
+    (continue_, rw') — works on python floats and traced arrays alike
+    (Fusion.solve's host loop and pipeline/frame.py's lax.scan share it,
+    so the schedule exists once)."""
+    reduct = (cost_before - cost_after) / jnp.maximum(
+        jnp.asarray(cost_before, jnp.float32), 1e-30
+    )
+    relax = (reduct > RELAX_LO) & (reduct < RELAX_HI)
+    return relax, jnp.where(relax, jnp.asarray(rw, jnp.float32) / RELAX_DIV, rw)
 
 
 def _blend_with(dqs_k, wts_k):
@@ -208,7 +244,7 @@ def gn_solve_core(
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
     # multiply HBM traffic ~40x across the CG iterations.
     def run_step(args):
-        x, e = args
+        x, e, dmp = args
         dqs_v = jnp.take(x, nbr_idx, axis=0)
         r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
             dqs_v, verts, normals, corrs, blend_wts, lw_dq
@@ -267,91 +303,124 @@ def gn_solve_core(
         diag = blk.reshape(8, 8, M)[
             jnp.arange(8), jnp.arange(8), :
         ]  # (8, M) true diagonal (for damping scale)
-        lam = damping * (jnp.sum(diag) / (8.0 * M) + 1e-12)
-        D = blk.T.reshape(M, 8, 8) + lam * jnp.eye(8)[None, :, :]
-        Dinv = jnp.linalg.inv(D)  # (M, 8, 8)
+        diag_mean = jnp.sum(diag) / (8.0 * M) + 1e-12
+        blkT = blk.T.reshape(M, 8, 8)
 
-        def precond(r8):  # (8, M) → (8, M)
-            return jnp.einsum(
-                "mab,bm->am", Dinv, r8, precision=jax.lax.Precision.HIGHEST
-            )
+        def cg_solve(lam):
+            """PCG solve of (JᵀWJ + λI)·δ = rhs with the per-node 8×8
+            block preconditioner at THIS λ — Jacobians/normal blocks are
+            closed over, so an LM retry re-runs only this."""
+            D = blkT + lam * jnp.eye(8)[None, :, :]
+            Dinv = jnp.linalg.inv(D)  # (M, 8, 8)
 
-        def matvec(p8):  # (8, M) → (8, M)
-            pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
-            prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
-            Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
-            back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
+            def precond(r8):  # (8, M) → (8, M)
+                return jnp.einsum(
+                    "mab,bm->am", Dinv, r8,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
-            pgi = take_pi(p8)                             # (8, P)
-            pgj = jnp.take(p8, pair_j, axis=1)
-            Jp_r3 = jnp.stack(
-                [
-                    jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
-                    + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
-                    for c in range(3)
-                ],
-                axis=0,
-            )  # (3, P)
-            s3 = w_r3 * Jp_r3
-            back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(reg_fold(Jj24, s3))
-            return back_d + back_r + lam * p8
+            def matvec(p8):  # (8, M) → (8, M)
+                pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
+                prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
+                Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
+                back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
 
-        # Jacobi-PCG in (8, M) layout; stops at cg_iters or once
-        # ‖r‖ ≤ cg_rtol·‖rhs‖ (everything in the state is replicated
-        # under shard_map, so the loop count matches across devices)
-        def cg_body(state):
-            sol, rvec, z, d, rz, it = state
-            Ad = matvec(d)
-            alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
-            sol = sol + alpha * d
-            rvec = rvec - alpha * Ad
-            z = precond(rvec)
-            rz_new = jnp.sum(rvec * z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            d = z + beta * d
-            return sol, rvec, z, d, rz_new, it + 1
+                pgi = take_pi(p8)                             # (8, P)
+                pgj = jnp.take(p8, pair_j, axis=1)
+                Jp_r3 = jnp.stack(
+                    [
+                        jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
+                        + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
+                        for c in range(3)
+                    ],
+                    axis=0,
+                )  # (3, P)
+                s3 = w_r3 * Jp_r3
+                back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(
+                    reg_fold(Jj24, s3)
+                )
+                return back_d + back_r + lam * p8
 
-        z0 = precond(rhs)
-        state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0),
-                 jnp.int32(0))
-        if cg_rtol > 0.0:
-            # inexact-Newton forcing: measured a net LOSS at bench scale
-            # (saved CG iterations < extra full GN retries it triggers),
-            # so this is off by default — kept for experimentation.
-            eta = cg_rtol * (e / jnp.maximum(cost0, 1e-30))
-            tol2 = (eta * eta) * jnp.sum(rhs * rhs)
+            # Jacobi-PCG in (8, M) layout; stops at cg_iters or once
+            # ‖r‖ ≤ cg_rtol·‖rhs‖ (everything in the state is replicated
+            # under shard_map, so the loop count matches across devices)
+            def cg_body(state):
+                sol, rvec, z, d, rz, it = state
+                Ad = matvec(d)
+                alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-30)
+                sol = sol + alpha * d
+                rvec = rvec - alpha * Ad
+                z = precond(rvec)
+                rz_new = jnp.sum(rvec * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                d = z + beta * d
+                return sol, rvec, z, d, rz_new, it + 1
 
-            def cg_cond(st):
-                _, rvec, _, _, _, it = st
-                return (it < cg_iters) & (jnp.sum(rvec * rvec) > tol2)
+            z0 = precond(rhs)
+            state = (jnp.zeros_like(rhs), rhs, z0, z0, jnp.sum(rhs * z0),
+                     jnp.int32(0))
+            if cg_rtol > 0.0:
+                # inexact-Newton forcing: measured a net LOSS at bench
+                # scale (saved CG iterations < extra full GN retries it
+                # triggers), so this is off by default.
+                eta = cg_rtol * (e / jnp.maximum(cost0, 1e-30))
+                tol2 = (eta * eta) * jnp.sum(rhs * rhs)
 
-            delta8 = jax.lax.while_loop(cg_cond, cg_body, state)[0]
-        else:
-            delta8 = jax.lax.fori_loop(
+                def cg_cond(st):
+                    _, rvec, _, _, _, it = st
+                    return (it < cg_iters) & (jnp.sum(rvec * rvec) > tol2)
+
+                return jax.lax.while_loop(cg_cond, cg_body, state)[0]
+            return jax.lax.fori_loop(
                 0, cg_iters, lambda i, st: cg_body(st), state
             )[0]
 
-        x_new = x + delta8.T
-        r_d1, r_r1 = _residuals(x_new, data_args, reg_args, lw_dq)
-        _, e_new = _energies(r_d1, r_r1, psum)
-        better = e_new <= e
-        return jnp.where(better, x_new, x), jnp.where(better, e_new, e)
+        def try_step(dmp_):
+            delta8 = cg_solve(dmp_ * diag_mean)
+            x_new = x + delta8.T
+            r_d1, r_r1 = _residuals(x_new, data_args, reg_args, lw_dq)
+            _, e_new = _energies(r_d1, r_r1, psum)
+            return x_new, e_new
+
+        # LM trust loop: accept the step if the energy decreases,
+        # otherwise retry with 10× damping (Jacobians reused — see
+        # cg_solve). `accepted` replicates under shard_map because e/e_new
+        # are psum'd.
+        def lm_body(st):
+            dmp_, x_b, e_b, _, tries = st
+            x_new, e_new = try_step(dmp_)
+            ok = e_new <= e
+            x_b = jnp.where(ok, x_new, x_b)
+            e_b = jnp.where(ok, e_new, e_b)
+            dmp_next = jnp.where(
+                ok, jnp.maximum(dmp_ / 3.0, damping), dmp_ * 10.0
+            )
+            return dmp_next, x_b, e_b, ok, tries + 1
+
+        def lm_cond(st):
+            _, _, _, accepted, tries = st
+            return (~accepted) & (tries < MAX_LM_RETRIES)
+
+        st = (dmp, x, e, jnp.bool_(False), jnp.int32(0))
+        dmp_out, x_b, e_b, _, _ = jax.lax.while_loop(lm_cond, lm_body, st)
+        return x_b, e_b, dmp_out
 
     def gn_step(carry, _):
-        x, e, act = carry
-        x2, e2 = jax.lax.cond(
-            act, run_step, lambda a: a, (x, e)
+        x, e, act, dmp = carry
+        x2, e2, dmp2 = jax.lax.cond(
+            act, run_step, lambda a: a, (x, e, dmp)
         )
         # scipy-style ftol termination: stop (skip remaining iterations)
-        # once the relative cost reduction falls below ftol — a rejected
-        # step (e2 == e) terminates too. (An LM retry-with-higher-damping
-        # variant was measured here: near convergence it spends full GN
-        # steps on retries that rarely progress — net loss at bench scale.)
+        # once the relative cost reduction falls below ftol — a step all
+        # of whose LM retries were rejected (e2 == e) terminates too.
         act = act & ((e - e2) > ftol * e)
-        return (x2, e2, act), None
+        return (x2, e2, act, dmp2), None
 
-    (x, cost1, _), _ = jax.lax.scan(
-        gn_step, (node_dq, cost0, jnp.bool_(True)), None, length=gn_iters
+    (x, cost1, _, _), _ = jax.lax.scan(
+        gn_step,
+        (node_dq, cost0, jnp.bool_(True), jnp.asarray(damping, jnp.float32)),
+        None,
+        length=gn_iters,
     )
     return x, cost0_raw, cost0, cost1
 

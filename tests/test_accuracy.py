@@ -68,3 +68,154 @@ def test_render_fuse_extract_accuracy():
     assert float(err.mean()) < 1.0 * voxel, (err.mean(), voxel)
     assert float(np.percentile(err, 95)) < 2.0 * voxel, (
         np.percentile(err, 95), voxel)
+
+
+def test_nonrigid_tracking_accuracy():
+    """Non-rigid END-TO-END gate at test scale (config7 in
+    benchmarks/suite.py is the full-size version): deform a bumpy body
+    mesh by a KNOWN smooth bend, fuse live depth renders on the canonical
+    lattice, run the full Fusion loop (reference flow test.py:104-138),
+    and assert the tracked canonical surface lands ON the true deformed
+    surface to a fraction of a voxel.
+
+    The primary metric is point-to-SURFACE distance — that is what the
+    fusion step consumes (updateTSDF samples the live TSDF at the warped
+    position; a warp that lands on the surface fuses correctly). The
+    vertex-CORRESPONDENCE error is reported as a looser secondary bound:
+    a smooth bend slides a mostly-smooth body along itself, and
+    closest-point data terms cannot observe tangential sliding (the ICP
+    aperture problem — the reference's clpts mode has the same null
+    space; its CNN mode exists for exactly this, core/sdf.py:95-150).
+    Measured here: surface error stays ~0.19 voxel across frames while
+    the tangential component accumulates in the vertex metric."""
+    from dynamicfusion_body_tpu.models.tsdf_volume import TsdfVolume
+    from dynamicfusion_body_tpu.ops.interp import trilinear
+    from dynamicfusion_body_tpu.pipeline.fusion import Fusion
+
+    # bumpy sphere: bumps break the rotational symmetry so the bend is
+    # observable (a plain sphere maps to itself under rotation and the
+    # GT comparison would be degenerate)
+    res0 = 96
+    g = np.arange(res0, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    c = (res0 - 1) / 2.0
+    dx, dy, dz = x - c, y - c, z - c
+    r = np.sqrt(dx * dx + dy * dy + dz * dz) + 1e-6
+    th = np.arccos(np.clip(dz / r, -1, 1))
+    ph = np.arctan2(dy, dx)
+    sdf = (r - (0.27 * res0 + 2.5 * np.sin(3 * th) * np.cos(3 * ph)))
+    m = marching_cubes(jnp.asarray(sdf.astype(np.float32)),
+                       vert_cap=1 << 14, face_cap=1 << 15)
+    nv, nf = int(m["n_verts"]), int(m["n_faces"])
+    assert not bool(m["overflow"])
+    verts = ((np.asarray(m["verts"])[:nv] - c) / res0 * 2.0).astype(
+        np.float32
+    )
+    faces = np.asarray(m["faces"])[:nf]
+
+    def bend(pts, angle):
+        cm = verts.mean(0)
+        p = pts - cm
+        h = verts[:, 1].max() - verts[:, 1].min() + 1e-6
+        t = 1.0 / (1.0 + np.exp(-8.0 * (p[:, 1] / h)))
+        ca, sa = np.cos(angle * t), np.sin(angle * t)
+        out = np.empty_like(p)
+        out[:, 0] = p[:, 0]
+        out[:, 1] = ca * p[:, 1] - sa * p[:, 2]
+        out[:, 2] = sa * p[:, 1] + ca * p[:, 2]
+        return (out + cm).astype(np.float32)
+
+    K = np.array([[200.0, 0, 128], [0, 200, 128], [0, 0, 1]], np.float32)
+
+    def render_all(vs):
+        depths, lws = [], []
+        fmask = jnp.ones(len(faces), bool)
+        for i in range(8):
+            ang = 2 * np.pi * i / 8
+            R = rotation_matrix(ang, [0, 1, 0])[:3, :3]
+            t = np.array([0, 0, 2.5])
+            lw = np.concatenate([R, t[:, None]], 1).astype(np.float32)
+            d = render_depth(
+                jnp.asarray(vs), jnp.asarray(faces), fmask,
+                jnp.asarray(K), jnp.asarray(lw), 256, 256, S=8,
+            )
+            depths.append(np.asarray(d))
+            lws.append(lw)
+        return depths, lws
+
+    res = 48
+    tdist = 8.0 / res * 1.3
+    dm = FusionDM(tdist, K, tsdf_res=res, vert_cap=1 << 14,
+                  face_cap=1 << 15)
+    depths0, lws = render_all(verts)
+    canon_v, canon_w = dm.compute_live_tsdf(depths0, lws,
+                                            UseAutoAlignment=True)
+    ind = np.asarray(dm._IND)
+    voxel = float(ind[0, 0])
+
+    fus = Fusion(
+        canon_v, tdist, subsample_rate=2.0, knn=3,
+        marching_cubes_step_size=1, write_warpfield=False,
+        vert_cap=1 << 14, face_cap=1 << 15, node_cap=512,
+    )
+    mm = fus._mesh
+    nv2 = int(mm["n_verts"])
+    gv = np.asarray(mm["verts"])[:nv2]
+    wv = gv @ ind[:3, :3].T + ind[:3, 3]
+    wts, _ = trilinear(jnp.asarray(canon_w), jnp.asarray(gv))
+    obs = np.asarray(wts) >= 3.0
+    assert obs.mean() > 0.5
+
+    # incremental tracking — the reference's protocol is a SEQUENCE of
+    # small inter-frame motions (test.py:104-138), not one large jump
+    # (a single 0.3 rad step measures the same ~27% correction the
+    # reference's single solve+break would give)
+    angles = [0.1, 0.2, 0.3]
+    for angle in angles:
+        bent = bend(verts, angle)
+        depths, _ = render_all(bent)
+        fresh = TsdfVolume.create(res, tdist, ind=jnp.asarray(ind))
+        dm.volume = fresh
+        live_v, _ = dm._fuse_all(fresh.values, fresh.weights, depths, lws)
+        fus.setupCorrespondences(live_v, method="clpts", tolerance=5.0)
+        fus.solve(regularization_weight=0.5, method="clpts")
+        fus.updateTSDF()
+        fus.update_graph()
+
+    angle = angles[-1]
+    tracked_g = fus.warp(gv, m_lw=fus._lw)
+    tracked_w = np.asarray(tracked_g) @ ind[:3, :3].T + ind[:3, 3]
+    truth_w = bend(wv, angle)
+
+    # dense true-surface sample: bent vertices + face centers + edge mids
+    surf = np.concatenate(
+        [verts, verts[faces].mean(1),
+         0.5 * (verts[faces[:, 0]] + verts[faces[:, 1]])], 0
+    )
+    tgt = jnp.asarray(bend(surf, angle))
+
+    def p2s(pts):
+        outs = []
+        pj = jnp.asarray(pts)
+        for i in range(0, len(pts), 2048):
+            d2 = jnp.sum((pj[i:i + 2048, None, :] - tgt[None]) ** 2, -1)
+            outs.append(np.asarray(jnp.sqrt(jnp.min(d2, 1))))
+        return np.concatenate(outs)
+
+    surf_err = p2s(tracked_w[obs]) / voxel
+    surf_untracked = p2s(wv[obs]) / voxel
+    vert_err = np.linalg.norm(tracked_w - truth_w, axis=1)[obs] / voxel
+    moved = np.linalg.norm(wv - truth_w, axis=1)[obs] / voxel
+    assert float(np.mean(moved)) > 1.0, "bend too small to be a real test"
+    # primary: the tracked surface lands on the true deformed surface
+    assert float(np.mean(surf_err)) < 0.5, (
+        f"mean surface error {np.mean(surf_err):.3f} voxels "
+        f"(untracked {np.mean(surf_untracked):.3f})"
+    )
+    assert float(np.percentile(surf_err, 95)) < 1.0
+    # and tracking genuinely reduced the surface mismatch
+    assert float(np.mean(surf_err)) < 0.6 * float(np.mean(surf_untracked))
+    # secondary: material-point error bounded by the tangential null
+    # space — must stay below the actual motion (i.e. tracking helps
+    # even under the stricter correspondence metric)
+    assert float(np.mean(vert_err)) < 0.8 * float(np.mean(moved))

@@ -125,3 +125,31 @@ def test_fusion_frame_sequence_tracking():
     cend = np.array(centers[-1])
     sd = float(jnp.linalg.norm(wp[0] - jnp.asarray(cend)) - 9.0)
     assert abs(sd) < 0.6, sd
+
+
+def test_fusion_frame_large_volume_guard():
+    """Volumes beyond the measured single-dispatch HBM budget are refused
+    with a pointer at the multi-dispatch driver (docs/tpu_kernel_notes.md:
+    512³ thrashes HBM at 67-152 s/frame)."""
+    import jax
+    import pytest
+
+    res = 512
+    caps = dict(vert_cap=256, face_cap=512)
+    # ShapeDtypeStructs + eval_shape: the guard fires at trace time, no
+    # need to allocate 512³ volumes on the test machine.
+    vol = jax.ShapeDtypeStruct((res,) * 3, jnp.float32)
+    wf_small, _ = init_canonical(
+        jnp.asarray(sphere_levelset(32, (16, 16, 16), 9.0)),
+        subsample_rate=2.0, node_cap=16, mc_step=2, vert_cap=256,
+        face_cap=512,
+    )
+    lw = jax.ShapeDtypeStruct((8,), jnp.float32)
+    with pytest.raises(ValueError, match="multi-dispatch"):
+        jax.eval_shape(
+            lambda v, w, l, wf_, lw_: fusion_frame(
+                v, w, l, wf_, lw_, regularization_weight=1.0, knn_k=3,
+                tdist=1.0, mc_step=2, **caps,
+            ),
+            vol, vol, vol, wf_small, lw,
+        )

@@ -67,3 +67,23 @@ def test_escaped_samples_are_resampled_exactly(rng):
     np.testing.assert_allclose(
         np.asarray(got_w), np.asarray(want_w), atol=3e-3
     )
+
+    # the CACHED Pallas kernel (kNN stage precomputed) must agree too —
+    # same tearing warp so the escape fixup path is exercised with the
+    # cache as well
+    cand, risk = W.brick_candidates_2level(
+        wf, shape, 8, 4, with_risk=True, risk_k=2
+    )
+    wc = W.build_warp_cache(wf, shape, cand, 2, 8)
+    got_cv, got_cw, esc_c, _ = W.update_tsdf_nonrigid(
+        values, weights, live, wf, lw, use_pallas=True,
+        pallas_interpret=True, pallas_precise=True,
+        cand_cache=(cand, risk), warp_cache=wc, **kw
+    )
+    assert int(esc_c) == 0
+    np.testing.assert_allclose(
+        np.asarray(got_cv), np.asarray(want_v), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cw), np.asarray(want_w), atol=3e-3
+    )

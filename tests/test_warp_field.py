@@ -107,6 +107,42 @@ def test_update_tsdf_nonrigid_vs_reference_loop(rng):
     np.testing.assert_allclose(got_w, want_w, atol=2e-4)
 
 
+def test_update_tsdf_warp_cache_exact(rng):
+    """The kNN-selection cache path must be BIT-IDENTICAL to the computed
+    path: selection slots, Gaussian weights, and wi depend only on node
+    positions (build_warp_cache docstring), and the cached blend rebuilds
+    the same wsel matrix, so values/weights must match exactly."""
+    res, k, tdist, wmax = 16, 3, 0.5, 100.0
+    verts = (rng.rand(60, 3) * (res - 1)).astype(np.float32)
+    wf = W.construct_graph(jnp.array(verts), jnp.float32(1.2), 64)
+    dqs = (rng.randn(64, 8) * 0.05).astype(np.float32)
+    dqs[:, 0] += 1.0
+    wf = wf.replace(node_dq=jnp.array(dqs))
+    lw = jnp.array([1.0, 0, 0, 0, 0, 0.02, 0.01, 0], jnp.float32)
+    live = jnp.asarray(
+        rng.uniform(-1, 1, (res, res, res)).astype(np.float32))
+    vals0 = jnp.asarray(
+        rng.uniform(-0.4, 0.5, (res, res, res)).astype(np.float32))
+    wts0 = jnp.asarray(np.where(
+        rng.rand(res, res, res) < 0.3, 0.0,
+        rng.rand(res, res, res) * 5).astype(np.float32))
+
+    brick, C = 4, 16
+    base_v, base_w, _, _ = W.update_tsdf_nonrigid(
+        vals0, wts0, live, wf, lw, k=k, tdist=tdist, wmax=wmax,
+        brick=brick, n_candidates=C)
+
+    cand, risk = W.brick_candidates_2level(
+        wf, (res,) * 3, brick, C, with_risk=True, risk_k=k)
+    wc = W.build_warp_cache(wf, (res,) * 3, cand, k, brick)
+    got_v, got_w, _, _ = W.update_tsdf_nonrigid(
+        vals0, wts0, live, wf, lw, k=k, tdist=tdist, wmax=wmax,
+        brick=brick, n_candidates=C, cand_cache=(cand, risk),
+        warp_cache=wc)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(base_v))
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(base_w))
+
+
 def test_update_graph_inserts_unsupported(rng):
     # nodes cover a cluster at origin; vertices appear far away → new nodes
     verts0 = (rng.rand(20, 3)).astype(np.float32)

@@ -156,6 +156,78 @@ def main():
     print(f"# active bricks (9^3 halo, 8 stride): {n_act} / {32**3}",
           flush=True)
 
+    # ---- emission sub-phases on CONCRETE rank structures (passed as jit
+    # args so only the queried op is timed; the _Ranks rebuild inside is
+    # a rowsum + tiny scan, ≈ phase a/c cost, subtracted out by chaining)
+    m = full(vol)
+    # vertex-edge mask (for vranks) and ntris (for franks), concrete
+    inside = np.asarray(vol) < level
+
+    def axis_cross_np(a):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a] = slice(0, RES - 1)
+        sl_hi[a] = slice(1, RES)
+        cross = inside[tuple(sl_lo)] != inside[tuple(sl_hi)]
+        pad = [(0, 0)] * 3
+        pad[a] = (0, 1)
+        return np.pad(cross, pad)
+
+    vmask_np = np.concatenate(
+        [axis_cross_np(a).reshape(-1) for a in range(3)]).astype(np.int8)
+    case_np = np.zeros((RES - 1,) * 3, np.int32)
+    for b in range(8):
+        dx, dy, dz = b & 1, (b >> 1) & 1, (b >> 2) & 1
+        case_np |= (
+            inside[dx:dx + RES - 1, dy:dy + RES - 1, dz:dz + RES - 1]
+            .astype(np.int32) << b)
+    ntris_np = np.asarray(
+        jax.jit(M._ntris_chunked)(jnp.asarray(case_np.reshape(-1))))
+    vmask_j = jnp.asarray(vmask_np)
+    ntris_j = jnp.asarray(ntris_np.astype(np.int32))
+
+    fslots = jnp.arange(face_cap, dtype=jnp.int32)
+    vslots = jnp.arange(vert_cap, dtype=jnp.int32)
+
+    def ranks_build_v(mask):
+        return M._Ranks(mask, 256).total
+
+    timeit("h_vranks_build", lambda: jax.jit(ranks_build_v)(vmask_j),
+           lambda o: f1(o))
+
+    def unrank_faces(ntris):
+        return M._Ranks(ntris, 128).unrank(fslots)
+
+    timeit("i_franks_unrank_262k", lambda: jax.jit(unrank_faces)(ntris_j),
+           lambda o: f1(o))
+
+    cell_of_face = jax.jit(unrank_faces)(ntris_j)
+    # representative global edge ids for rank_incl: 3 per face
+    rng = np.random.RandomState(0)
+    eids = jnp.asarray(
+        rng.randint(0, 3 * nxyz, size=(face_cap,), dtype=np.int64)
+        .astype(np.int32))
+
+    def rank_incl_v(mask, q):
+        return M._Ranks(mask, 256).rank_incl(q)
+
+    timeit("j_vranks_rank_incl_262k",
+           lambda: jax.jit(rank_incl_v)(vmask_j, eids), lambda o: f1(o))
+
+    acase = jnp.take(jnp.asarray(case_np.reshape(-1)), cell_of_face, axis=0)
+
+    def onehot15(ac):
+        return M._onehot_rows(ac, M._TRI15, 15)
+
+    timeit("k_onehot_tri15_262k", lambda: jax.jit(onehot15)(acase),
+           lambda o: f1(o))
+
+    def unrank_verts(mask):
+        return M._Ranks(mask, 256).unrank(vslots)
+
+    timeit("l_vranks_unrank_131k", lambda: jax.jit(unrank_verts)(vmask_j),
+           lambda o: f1(o))
+
 
 if __name__ == "__main__":
     main()

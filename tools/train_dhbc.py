@@ -130,7 +130,7 @@ def match_error(corr, valid, gt_live, vmask):
     return float(d[m].mean()), int(m.sum())
 
 
-def ablation(verts, faces, params_trained, size, n_views=24):
+def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7):
     """clpts vs CNN(random) vs CNN(trained) under a large bend."""
     import jax.numpy as jnp
 
@@ -141,7 +141,7 @@ def ablation(verts, faces, params_trained, size, n_views=24):
         closest_point_correspondences,
     )
 
-    live_v = bend_mesh(verts)
+    live_v = bend_mesh(verts, angle=angle)
     V = len(verts)
     vmask = jnp.ones(V, bool)
     canon = {"verts": jnp.asarray(verts), "faces": jnp.asarray(faces),
@@ -186,6 +186,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="/root/repo/data/dhbc_synth.npz")
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--bends", type=float, nargs="+", default=[0.7],
+                    help="bend angles (rad) for the --ablate sweep")
     ap.add_argument("--decay", action="store_true")
     args = ap.parse_args()
 
@@ -259,10 +261,12 @@ def main():
     print(f"# saved {args.out}", flush=True)
 
     if args.ablate:
-        res = ablation(verts, faces, params, args.size)
-        print("# correspondence ablation (mean 3D match error, n_valid):")
-        for k, v in res.items():
-            print(f"#   {k:12s} err={v[0]:.4f} n={v[1]}", flush=True)
+        for ang in args.bends:
+            res = ablation(verts, faces, params, args.size, angle=ang)
+            print(f"# correspondence ablation at bend={ang} rad "
+                  "(mean 3D match error, n_valid):")
+            for k, v in res.items():
+                print(f"#   {k:12s} err={v[0]:.4f} n={v[1]}", flush=True)
 
 
 if __name__ == "__main__":
