@@ -551,7 +551,17 @@ def update_tsdf_nonrigid(
 
     NB = nbx * nbs
     if use_pallas:
-        # fused kernel: per-voxel kNN → DQB warp → brick trilerp in ONE
+        from ..ops.trilerp_pallas import trilerp_bricks_supported
+
+        if not trilerp_bricks_supported(live.shape, brick):
+            # the kernel's window DMA + z-roll need clean tiling; running
+            # it anyway would silently corrupt samples (callers gate on
+            # this predicate — fail loudly if one forgot)
+            raise ValueError(
+                f"use_pallas=True but live shape {live.shape} fails "
+                "trilerp_bricks_supported (y needs (ry-24)%8==0, z needs "
+                "rz<=32 or rz%128==0); use the XLA path"
+            )
         # Pallas pass (ops/trilerp_pallas.py warp_trilerp_bricks); the
         # XLA slab pass below is the portable equivalent. Brick rows are
         # z-fastest, so groups of ``g`` consecutive rows are z-runs
@@ -572,14 +582,24 @@ def update_tsdf_nonrigid(
         )
         g = next(g for g in (16, 8, 4, 2, 1) if nbz % g == 0)
         if warp_cache is not None:
-            from ..ops.trilerp_pallas import warp_trilerp_bricks_cached
+            from ..ops.trilerp_pallas import (
+                live_brick_mip,
+                mip_skip_supported,
+                warp_trilerp_bricks_cached,
+            )
 
             sel_c, selw_c, wi = warp_cache
+            mip_ok = (
+                mip_skip_supported(live.shape)
+                and live.shape == values.shape
+            )
             tsdf_l, valid, escaped, wx, wy, wz = warp_trilerp_bricks_cached(
                 live, node_table, cand, sel_c, selw_c, lw_dq,
                 vol_shape=values.shape, brick=brick,
                 x_offset=x_offset, group=g,
                 interpret=pallas_interpret, precise=pallas_precise,
+                tdist=float(tdist) if mip_ok else None,
+                live_mip=live_brick_mip(live) if mip_ok else None,
             )
         else:
             tsdf_l, valid, escaped, wi, wx, wy, wz = warp_trilerp_bricks(
@@ -607,6 +627,28 @@ def update_tsdf_nonrigid(
         # path — up to ESC_CAP per frame; beyond that the WHOLE frame
         # falls back to the full XLA gather resample (advisor finding:
         # never drop in-volume samples the reference would fuse).
+        #
+        # Near-threshold samples join them: the update's inclusion test
+        # is STRICT (skip iff tsdf_l <= -tdist, core/fusion.py:180-186),
+        # so the kernel's bounded interpolation rounding (~2⁻⁸ fast /
+        # ~2⁻¹⁶ precise of the local values) can flip a sample across it
+        # — e.g. exact -tdist inside the saturated interior reads as
+        # -tdist + 1e-5 and spuriously drags a canonical-surface voxel
+        # toward -tdist (measured: ~0.1% of voxels on a clipped live
+        # TSDF, value error up to ~tdist). Samples within eps of the
+        # threshold (excluding exact hits — the mip-certified constants)
+        # are re-sampled exactly so the inclusion test always sees the
+        # exact-gather value.
+        eps_thr = jnp.float32(tdist) * (
+            jnp.float32(1.0 / 64.0) if pallas_precise
+            else jnp.float32(1.0 / 16.0)
+        )
+        near_thr = (
+            valid
+            & (jnp.abs(tsdf_l + tdist) <= eps_thr)
+            & (tsdf_l != -tdist)
+        )
+        escaped = escaped | near_thr
         n_esc = jnp.sum(escaped.astype(jnp.int32))
         ESC_CAP = 1 << 16
 

@@ -150,6 +150,13 @@ class _Ranks:
     def unrank(self, slots):
         """rank → smallest position with inclusive prefix == rank+1
         (the compacted-order source index for each output slot)."""
+        return self.unrank_with_rank(slots)[0]
+
+    def unrank_with_rank(self, slots):
+        """(position, inclusive prefix sum AT that position, count AT that
+        position) per slot — the rank/count come for free from the row
+        already gathered for the inversion, saving the separate
+        rank_incl row-gather pass the caller would otherwise issue."""
         cap = slots.shape[0]
         j = _inv_monotone(
             self.gex.astype(jnp.int32),
@@ -159,9 +166,15 @@ class _Ranks:
         j = jnp.maximum(jnp.take(j, slots, axis=0), 0)
         rows = jnp.take(self.rows, j, axis=0)          # (cap, S)
         incl = jnp.cumsum(rows.astype(jnp.int32), axis=1)
-        q = (slots + 1 - jnp.take(self.gex, j, axis=0))[:, None]
+        gexj = jnp.take(self.gex, j, axis=0)
+        q = (slots + 1 - gexj)[:, None]
         off = jnp.sum((incl < q).astype(jnp.int32), axis=1)
-        return jnp.minimum(j * self.S + off, self.n - 1)
+        offc = jnp.minimum(off, self.S - 1)[:, None]
+        rank_at = gexj + jnp.take_along_axis(incl, offc, axis=1)[:, 0]
+        cnt_at = jnp.take_along_axis(rows, offc, axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        return jnp.minimum(j * self.S + off, self.n - 1), rank_at, cnt_at
 
 
 def _compact_map(csum, slots, S):
@@ -285,16 +298,19 @@ def marching_cubes(
         )
     case_flat = case.reshape(-1)
     ntris = _ntris_chunked(case_flat)
-    franks = _Ranks(ntris, 128)
+    # int8 rows: ntris <= 5, and the emission row-gathers below move 4x
+    # fewer bytes than i32 rows
+    franks = _Ranks(ntris.astype(jnp.int8), 128)
     n_faces = franks.total
 
     # ---- triangle emission (gather-light) --------------------------------
     fslots = jnp.arange(face_cap, dtype=jnp.int32)
-    cell_of_face = franks.unrank(fslots)
+    # position + rank + count in ONE row-gather pass (the separate
+    # rank_incl and _ntris_of_case(acase) calls this replaces re-gathered
+    # the same rows / rebuilt the same counts)
+    cell_of_face, tsum_f, ntri_f = franks.unrank_with_rank(fslots)
     fmask0 = fslots < n_faces
     acase = jnp.take(case_flat, cell_of_face, axis=0)
-    ntri_f = _ntris_of_case(acase)
-    tsum_f = franks.rank_incl(cell_of_face)
     slot = jnp.clip(fslots - (tsum_f - ntri_f), 0, 4)
 
     ci = cell_of_face // (cy * cz)
@@ -303,7 +319,7 @@ def marching_cubes(
 
     row15 = _onehot_rows(acase, _TRI15, 15)  # (face_cap, 15) f32 exact
     w_iota = jnp.arange(15, dtype=jnp.int32)[None, :]
-    fcols = []
+    eids = []
     for c in range(3):
         sel = (w_iota == (slot * 3 + c)[:, None]).astype(jnp.float32)
         el = jnp.sum(row15 * sel, axis=1).astype(jnp.int32)  # local edge id
@@ -312,9 +328,14 @@ def marching_cubes(
         gj = cj + off4[:, 1].astype(jnp.int32)
         gk = ck + off4[:, 2].astype(jnp.int32)
         ga = off4[:, 3].astype(jnp.int32)
-        eid = ga * nxyz + (gi * Y + gj) * Z + gk
-        vidx = vranks.rank_incl(eid) - 1  # rank of the crossing edge
-        fcols.append(jnp.where(fmask0, vidx, 0))
+        eids.append(ga * nxyz + (gi * Y + gj) * Z + gk)
+    # one batched rank query for all three columns (one row-gather kernel
+    # instead of three)
+    vidx3 = vranks.rank_incl(jnp.concatenate(eids)) - 1
+    fcols = [
+        jnp.where(fmask0, vidx3[c * face_cap:(c + 1) * face_cap], 0)
+        for c in range(3)
+    ]
     # on vertex overflow the cumsum ranks keep counting past vert_cap —
     # zero out any face touching a dropped vertex so exported faces never
     # reference nonexistent vertex slots

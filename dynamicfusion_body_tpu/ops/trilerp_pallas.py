@@ -420,16 +420,85 @@ def _warp_kernel(live_ref, nodes_ref, cand_ref, lw_ref, xoff_ref,
         wz_ref[g, :] = wzs[g]
 
 
+def _mip_class(mn_ref, mx_ref, wx, wy, wz, invol, R):
+    """Per-brick live-space uniformity certificate.
+
+    ``mn_ref``/``mx_ref`` hold per-live-brick min/max over the brick's 8³
+    voxels PLUS a one-voxel high-side halo (window [8b, 8b+8] inclusive),
+    laid out (nlx·nly, nlz). A sample p with taps [floor p, floor p+1]
+    is therefore fully covered by the mip entry of brick floor(p)//8.
+
+    Returns (covered, all_min, all_max): ``covered`` is True iff every
+    in-volume sample's tap window lies inside the reduced 3×3×3 mip
+    window (brick bbox spans ≤ 3 live bricks per axis — large warps fall
+    back to the full interpolation path), in which case all taps of all
+    in-volume samples are within [all_min, all_max]. Exactness downstream:
+      all_max <= -tdist  → every trilerp result <= -tdist (convex
+                           combination) → the running-average update
+                           skips these voxels (core/fusion.py:180-186);
+      all_min == all_max → every trilerp result is EXACTLY that constant
+                           (convex combination of equal taps) — the far
+                           field of a truncated live TSDF (+tdist).
+    """
+    f32 = jnp.float32
+    big = jnp.float32(1e9)
+    nlx = R[0] // 8
+    nly = R[1] // 8
+    nlz = R[2] // 8
+
+    def _rng(w, n):
+        lo = jnp.min(jnp.where(invol, w, big))
+        hi = jnp.max(jnp.where(invol, w, -big))
+        blo = jnp.clip(jnp.floor(lo).astype(jnp.int32) // 8, 0, n - 1)
+        bhi = jnp.clip(jnp.floor(hi).astype(jnp.int32) // 8, 0, n - 1)
+        return blo, bhi
+
+    xlo, xhi = _rng(wx, nlx)
+    ylo, yhi = _rng(wy, nly)
+    zlo, zhi = _rng(wz, nlz)
+    covered = (
+        (xhi - xlo <= 2) & (yhi - ylo <= 2) & (zhi - zlo <= 2)
+    )
+    cx = jnp.minimum(xlo, nlx - 3) if nlx >= 3 else jnp.int32(0)
+    cy = jnp.minimum(ylo, nly - 3) if nly >= 3 else jnp.int32(0)
+
+    # gather the 3×3 row block (full z line each), mask to the true range
+    zi = jax.lax.broadcasted_iota(jnp.int32, (3, nlz), 1)
+    zmask = (zi >= zlo) & (zi <= zhi)
+    all_min = big
+    all_max = -big
+    for i in range(3):
+        xi = cx + i
+        xin = (xi >= xlo) & (xi <= xhi)
+        row0 = xi * nly + cy
+        mnw = mn_ref[pl.ds(row0, 3), :]        # (3, nlz)
+        mxw = mx_ref[pl.ds(row0, 3), :]
+        yi = cy + jax.lax.broadcasted_iota(jnp.int32, (3, nlz), 0)
+        ymask = (yi >= ylo) & (yi <= yhi)
+        m = zmask & ymask & xin
+        all_min = jnp.minimum(all_min, jnp.min(jnp.where(m, mnw, big)))
+        all_max = jnp.maximum(all_max, jnp.max(jnp.where(m, mxw, -big)))
+    return covered, all_min, all_max
+
+
 def _warp_kernel_cached(live_ref, nodes_ref, cand_ref, sel_ref, selw_ref,
-                        lw_ref, xoff_ref,
+                        lw_ref, xoff_ref, mn_ref, mx_ref,
                         vals_ref, valid_ref, esc_ref,
                         wx_ref, wy_ref, wz_ref, boxes, sems,
-                        *, group, R, precise, bz, k, brick, nby, nbz):
+                        *, group, R, precise, bz, k, brick, nby, nbz,
+                        tdist, use_mip):
     """_warp_kernel with the per-voxel kNN stage REPLACED by the
     build_warp_cache selection (models/warp_field.py): the top-k slots
     and Gaussian weights are node-dq-independent, so the per-frame work
     is blend + normalize + sandwich + trilerp. ``wi`` lives in the cache
-    and never enters the kernel."""
+    and never enters the kernel.
+
+    With ``use_mip`` the per-brick live-space certificate (_mip_class)
+    short-circuits the interpolation: bricks whose warped footprint
+    provably lands in a uniform region of the live volume (saturated
+    +tdist far field, <= -tdist interior) emit the exact constant and
+    skip the tent/matmul work; the group's window DMA is skipped when
+    every brick short-circuits."""
     from .compwise import dq_normalize8_c, dq_point_c
 
     rx, ry, rz = R
@@ -487,32 +556,88 @@ def _warp_kernel_cached(live_ref, nodes_ref, cand_ref, sel_ref, selw_ref,
     wzs = [wz2[g] for g in range(group)]
     invols = [_in_volume(wxs[g], wys[g], wzs[g], R) for g in range(group)]
 
+    # ---- per-brick uniformity certificates --------------------------------
+    if use_mip:
+        shorts = []  # (short_circuit, const_val) per brick
+        any_full = jnp.bool_(False)
+        for g in range(group):
+            has_v = jnp.max(invols[g].astype(jnp.int32)) > 0
+            cov, amin, amax = _mip_class(
+                mn_ref, mx_ref, wxs[g], wys[g], wzs[g], invols[g], R,
+            )
+            is_skip = cov & (amax <= -tdist)
+            is_const = cov & (amin == amax)
+            short = jnp.logical_not(has_v) | is_skip | is_const
+            # skip-class emits -tdist (update-test `> -tdist` rejects it,
+            # matching the reference's strict skip); const emits the value
+            cval = jnp.where(is_skip, -tdist, amin)
+            shorts.append((short, cval))
+            any_full = any_full | jnp.logical_not(short)
+    else:
+        shorts = [(jnp.bool_(False), jnp.float32(0.0))] * group
+        any_full = jnp.bool_(True)
+
     mx, my, mzs = _box_mins(wxs, wys, wzs, invols, R, bz)
-    copy = pltpu.make_async_copy(
-        live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
-    )
-    copy.start()
-    cst = _interp_consts(V, bz, precise)
-    copy.wait()
-    box2 = boxes[...].reshape(K, rz)
-    for g in range(group):
-        out, inbox = _interp_one(
-            box2, cst, wxs[g], wys[g], wzs[g], mx, my, mzs[g], R, bz,
-            precise,
+
+    @pl.when(any_full)
+    def _dma():
+        copy = pltpu.make_async_copy(
+            live_ref.at[pl.ds(mx, BX), pl.ds(my, BY), :], boxes, sems,
         )
+        copy.start()
+        copy.wait()
+
+    cst = _interp_consts(V, bz, precise)
+    for g in range(group):
         invol = invols[g]
-        vals_ref[g, :] = out
-        valid_ref[g, :] = (invol & inbox).astype(f32)
-        esc_ref[g, :] = (invol & jnp.logical_not(inbox)).astype(f32)
+        short, cval = shorts[g]
         wx_ref[g, :] = wxs[g]
         wy_ref[g, :] = wys[g]
         wz_ref[g, :] = wzs[g]
+
+        @pl.when(short)
+        def _short(g=g, invol=invol, cval=cval):
+            vals_ref[g, :] = jnp.zeros((V,), f32) + cval
+            valid_ref[g, :] = invol.astype(f32)
+            esc_ref[g, :] = jnp.zeros((V,), f32)
+
+        @pl.when(jnp.logical_not(short))
+        def _full(g=g, invol=invol):
+            box2 = boxes[...].reshape(K, rz)
+            out, inbox = _interp_one(
+                box2, cst, wxs[g], wys[g], wzs[g], mx, my, mzs[g], R, bz,
+                precise,
+            )
+            vals_ref[g, :] = out
+            valid_ref[g, :] = (invol & inbox).astype(f32)
+            esc_ref[g, :] = (invol & jnp.logical_not(inbox)).astype(f32)
+
+
+def live_brick_mip(live: jax.Array):
+    """Per-live-brick min/max over the brick's 8³ voxels PLUS a one-voxel
+    high-side halo (window [8b, 8b+8] inclusive — covers both taps of any
+    sample whose floor lands in the brick). Returns (mn, mx), each
+    (nlx·nly, nlz) f32, the layout _mip_class expects."""
+    rx, ry, rz = live.shape
+    vp = jnp.pad(live, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    mn = jax.lax.reduce_window(
+        vp, jnp.inf, jax.lax.min, (9, 9, 9), (8, 8, 8), "VALID")
+    mx = jax.lax.reduce_window(
+        vp, -jnp.inf, jax.lax.max, (9, 9, 9), (8, 8, 8), "VALID")
+    nlx, nly, nlz = rx // 8, ry // 8, rz // 8
+    return mn.reshape(nlx * nly, nlz), mx.reshape(nlx * nly, nlz)
+
+
+def mip_skip_supported(shape) -> bool:
+    """The 3×3×3 mip window logic needs at least 3 live bricks per axis
+    and 8-divisible extents."""
+    return all(s % 8 == 0 and s >= 24 for s in shape)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "vol_shape", "brick", "group", "interpret", "precise",
+        "vol_shape", "brick", "group", "interpret", "precise", "tdist",
     ),
 )
 def warp_trilerp_bricks_cached(
@@ -528,11 +653,18 @@ def warp_trilerp_bricks_cached(
     group: int = 8,
     interpret: bool = False,
     precise: bool = False,
+    tdist: float | None = None,
+    live_mip=None,
 ):
     """``warp_trilerp_bricks`` with the kNN stage from a
     ``build_warp_cache`` result: sel (NB, V) int32 packed slots, selw
     (NB, k, V) f32 Gaussian weights. Returns
-    (vals, valid, escaped, wx, wy, wz) — no wi (it lives in the cache)."""
+    (vals, valid, escaped, wx, wy, wz) — no wi (it lives in the cache).
+
+    When ``tdist`` and ``live_mip`` (from live_brick_mip) are given,
+    bricks whose warped footprint provably lands in a uniform region of
+    the live volume skip the interpolation entirely (exact constants —
+    see _mip_class)."""
     rx, ry, rz = vol_shape
     NB, C = cand_idx.shape
     V = brick ** 3
@@ -540,6 +672,12 @@ def warp_trilerp_bricks_cached(
     bz = min(BZ, rz)
     assert NB % group == 0, (NB, group)
     grid = NB // group
+    use_mip = tdist is not None and live_mip is not None
+    if use_mip:
+        mn, mx = live_mip
+    else:
+        mn = jnp.zeros((3, 8), jnp.float32)
+        mx = jnp.zeros((3, 8), jnp.float32)
     spec = pl.BlockSpec((group, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sds = jax.ShapeDtypeStruct((NB, V), jnp.float32)
     xoff = jnp.asarray(x_offset, jnp.int32).reshape(1, 1)
@@ -548,6 +686,7 @@ def warp_trilerp_bricks_cached(
             _warp_kernel_cached, group=group, R=vol_shape, precise=precise,
             bz=bz, k=k, brick=brick,
             nby=ry // brick, nbz=rz // brick,
+            tdist=0.0 if tdist is None else float(tdist), use_mip=use_mip,
         ),
         grid=(grid,),
         in_specs=[
@@ -564,6 +703,10 @@ def warp_trilerp_bricks_cached(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(mn.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mx.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(spec,) * 6,
         out_shape=(sds,) * 6,
@@ -572,7 +715,8 @@ def warp_trilerp_bricks_cached(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(live, node_table, cand_idx, sel, selw, lw_dq.reshape(1, 8), xoff)
+    )(live, node_table, cand_idx, sel, selw, lw_dq.reshape(1, 8), xoff,
+      mn, mx)
     return vals, valid > 0.5, esc > 0.5, wx, wy, wz
 
 

@@ -87,3 +87,66 @@ def test_escaped_samples_are_resampled_exactly(rng):
     np.testing.assert_allclose(
         np.asarray(got_cw), np.asarray(want_w), atol=3e-3
     )
+
+
+def test_mip_skip_uniform_regions_exact(rng):
+    """The live-space uniformity certificate (_mip_class): a truncated
+    live TSDF (saturated +tdist far field, <= -tdist interior, narrow
+    band at the surface) must fuse IDENTICALLY through the mip-skipping
+    cached kernel and the exact XLA path — far-field voxels update with
+    the exact constant +tdist, interior samples are skipped, band
+    samples take the full interpolation path."""
+    shape = (32, 32, 128)  # kernel-supported: (ry-24)%8==0, rz%128==0
+    tdist = 3.0
+    gx = np.arange(shape[0], dtype=np.float32)
+    gy = np.arange(shape[1], dtype=np.float32)
+    gz = np.arange(shape[2], dtype=np.float32)
+    x, y, z = np.meshgrid(gx, gy, gz, indexing="ij")
+    r = np.sqrt((x - 16) ** 2 + (y - 15) ** 2 + (z - 64) ** 2)
+    live = np.clip(r - 9.0, -tdist, tdist).astype(np.float32)
+
+    verts = (rng.rand(40, 3) * 14 + 9).astype(np.float32)
+    verts[:, 2] += 48.0
+    wf = W.construct_graph(jnp.asarray(verts), jnp.float32(2.0), 64)
+    dqs = (rng.randn(64, 8) * 0.03).astype(np.float32)
+    dqs[:, 0] += 1.0
+    wf = wf.replace(node_dq=jnp.asarray(dqs))
+    lw = jnp.array([1.0, 0, 0, 0, 0, 0.3, -0.2, 0.1], jnp.float32)
+
+    values = jnp.asarray(
+        np.clip(r - 8.0, -tdist, tdist).astype(np.float32))
+    weights = jnp.asarray((rng.rand(*shape) * 4).astype(np.float32))
+    live_j = jnp.asarray(live)
+
+    kw = dict(k=3, tdist=tdist, wmax=100.0, brick=8, n_candidates=8)
+    want_v, want_w, _, _ = W.update_tsdf_nonrigid(
+        values, weights, live_j, wf, lw, use_pallas=False, **kw
+    )
+    cand, risk = W.brick_candidates_2level(
+        wf, shape, 8, 8, with_risk=True, risk_k=3)
+    wc = W.build_warp_cache(wf, shape, cand, 3, 8)
+    got_v, got_w, esc, _ = W.update_tsdf_nonrigid(
+        values, weights, live_j, wf, lw, use_pallas=True,
+        pallas_interpret=True, pallas_precise=True,
+        cand_cache=(cand, risk), warp_cache=wc, **kw
+    )
+    assert int(esc) == 0
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_w), np.asarray(want_w), atol=3e-3)
+    # the far field must have genuinely updated (weights grew) and carry
+    # the EXACT saturation constant
+    margin = (  # keep away from walls: lw pushes edge voxels OOB (no update)
+        (x > 3) & (x < shape[0] - 4) & (y > 3) & (y < shape[1] - 4)
+        & (z > 3) & (z < shape[2] - 4)
+    )
+    far = np.asarray((r > 24.0) & margin)
+    assert far.sum() > 1000
+    assert np.all(np.asarray(got_w)[far] > np.asarray(weights)[far])
+    fv = np.asarray(got_v)[far]
+    np.testing.assert_allclose(fv, tdist, atol=1e-4)
+    # the certificate must have engaged: a majority of far-field voxels
+    # carry the EXACT constant (the rest sit in bricks whose warped
+    # footprint could not be certified and take the full path)
+    assert float((fv == tdist).mean()) > 0.5, float((fv == tdist).mean())
