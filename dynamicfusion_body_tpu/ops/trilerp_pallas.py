@@ -613,17 +613,30 @@ def _warp_kernel_cached(live_ref, nodes_ref, cand_ref, sel_ref, selw_ref,
             esc_ref[g, :] = (invol & jnp.logical_not(inbox)).astype(f32)
 
 
+def _axis_windowred(v, axis, red):
+    """Windowed reduction [8b, 8b+8] (inclusive, edge-clamped) along one
+    axis: the 8-block reduction combined with the next block's first
+    plane — separable, so three passes replace the overlapping-window
+    reduce_window (whose XLA TPU lowering re-reads each voxel ~2.7x)."""
+    n = v.shape[axis]
+    nb = n // 8
+    shp = v.shape[:axis] + (nb, 8) + v.shape[axis + 1:]
+    blk = red(v.reshape(shp), axis=axis + 1)
+    nxt_idx = jnp.minimum(jnp.arange(nb) * 8 + 8, n - 1)
+    nxt = jnp.take(v, nxt_idx, axis=axis)
+    return (jnp.minimum if red is jnp.min else jnp.maximum)(blk, nxt)
+
+
 def live_brick_mip(live: jax.Array):
     """Per-live-brick min/max over the brick's 8³ voxels PLUS a one-voxel
     high-side halo (window [8b, 8b+8] inclusive — covers both taps of any
     sample whose floor lands in the brick). Returns (mn, mx), each
     (nlx·nly, nlz) f32, the layout _mip_class expects."""
     rx, ry, rz = live.shape
-    vp = jnp.pad(live, ((0, 1), (0, 1), (0, 1)), mode="edge")
-    mn = jax.lax.reduce_window(
-        vp, jnp.inf, jax.lax.min, (9, 9, 9), (8, 8, 8), "VALID")
-    mx = jax.lax.reduce_window(
-        vp, -jnp.inf, jax.lax.max, (9, 9, 9), (8, 8, 8), "VALID")
+    mn = mx = live
+    for a in (2, 1, 0):
+        mn = _axis_windowred(mn, a, jnp.min)
+        mx = _axis_windowred(mx, a, jnp.max)
     nlx, nly, nlz = rx // 8, ry // 8, rz // 8
     return mn.reshape(nlx * nly, nlz), mx.reshape(nlx * nly, nlz)
 
