@@ -205,7 +205,10 @@ def _compact_map(csum, slots, S):
 
 @partial(
     jax.jit,
-    static_argnames=("vert_cap", "face_cap", "cell_cap", "step_size"),
+    static_argnames=(
+        "vert_cap", "face_cap", "cell_cap", "step_size", "use_pallas",
+        "pallas_interpret",
+    ),
 )
 def marching_cubes(
     vol: jax.Array,
@@ -214,6 +217,8 @@ def marching_cubes(
     face_cap: int = 131072,
     cell_cap: int | None = None,
     step_size: int = 1,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Extract the ``level`` isosurface of ``vol`` (X,Y,Z).
 
@@ -229,13 +234,27 @@ def marching_cubes(
                                   faces touching dropped vertices are
                                   zeroed; callers should grow caps)
     Counts are exact below capacity; slots >= count are zero-filled.
+
+    ``use_pallas``: compute the crossing masks + case bytes with the
+    fused one-pass kernel (ops/mc_pallas.py) instead of eleven strided
+    volume slices; output is bit-identical (asserted in tests). Cells
+    then live on the full (X,Y,Z) lattice with a dead last plane per
+    axis (case byte 0 there) — rank arithmetic is unchanged because the
+    valid cells stay in the same lexicographic order.
     """
     del cell_cap  # legacy knob: compaction no longer needs a cell list
     if step_size > 1:
         vol = vol[::step_size, ::step_size, ::step_size]
     X, Y, Z = vol.shape
-    inside = vol < level
     nxyz = X * Y * Z
+
+    from .mc_pallas import mc_case_cross, mc_frontend_supported
+
+    fused = None
+    if use_pallas and mc_frontend_supported(vol.shape):
+        fused = mc_case_cross(vol, level, interpret=pallas_interpret)
+    else:
+        inside = vol < level
 
     # ---- vertices on crossing edges -------------------------------------
     # mask/t over the full (X,Y,Z,3) edge lattice; axis-a edges at index
@@ -254,9 +273,17 @@ def marching_cubes(
         pad[a] = (0, 1)
         return jnp.pad(cross, pad)
 
-    crosses = [axis_cross(a) for a in range(3)]
-    flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
-    vranks = _Ranks(flat_mask.astype(jnp.int8), 256)
+    if fused is not None:
+        fmask8 = [
+            ((fused >> (8 + a)) & 1).astype(jnp.int8).reshape(-1)
+            for a in range(3)
+        ]
+        flat_mask = jnp.concatenate(fmask8)
+        vranks = _Ranks(flat_mask, 256)
+    else:
+        crosses = [axis_cross(a) for a in range(3)]
+        flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
+        vranks = _Ranks(flat_mask.astype(jnp.int8), 256)
     n_verts = vranks.total
 
     vslots = jnp.arange(vert_cap, dtype=jnp.int32)
@@ -288,15 +315,23 @@ def marching_cubes(
     )
 
     # ---- cell cases ------------------------------------------------------
-    cx, cy, cz = X - 1, Y - 1, Z - 1
-    case = jnp.zeros((cx, cy, cz), jnp.int32)
-    for b in range(8):
-        dx, dy, dz = b & 1, (b >> 1) & 1, (b >> 2) & 1
-        case = case | (
-            inside[dx : dx + cx, dy : dy + cy, dz : dz + cz].astype(jnp.int32)
-            << b
-        )
-    case_flat = case.reshape(-1)
+    if fused is not None:
+        # full lattice with dead (case=0) last planes; valid cells keep
+        # the dense path's lexicographic order, so ranks are unchanged
+        cx, cy, cz = X, Y, Z
+        case_flat = (fused & 255).reshape(-1)
+    else:
+        cx, cy, cz = X - 1, Y - 1, Z - 1
+        case = jnp.zeros((cx, cy, cz), jnp.int32)
+        for b in range(8):
+            dx, dy, dz = b & 1, (b >> 1) & 1, (b >> 2) & 1
+            case = case | (
+                inside[dx : dx + cx, dy : dy + cy, dz : dz + cz].astype(
+                    jnp.int32
+                )
+                << b
+            )
+        case_flat = case.reshape(-1)
     ntris = _ntris_chunked(case_flat)
     # int8 rows: ntris <= 5, and the emission row-gathers below move 4x
     # fewer bytes than i32 rows

@@ -56,10 +56,11 @@ class FrameStats(NamedTuple):
                             # path
 
 
-def _canonical_mesh(values, vert_cap, face_cap, step_size):
+def _canonical_mesh(values, vert_cap, face_cap, step_size,
+                    use_pallas=False):
     m = marching_cubes(
         values, level=0.0, vert_cap=vert_cap, face_cap=face_cap,
-        step_size=step_size,
+        step_size=step_size, use_pallas=use_pallas,
     )
     vmask = jnp.arange(vert_cap) < m["n_verts"]
     return m, vmask
@@ -176,7 +177,8 @@ def fusion_frame(
     # frame's update_graph (identical volume ⇒ identical mesh) — pass the
     # previous frame's returned mesh as ``canon_mesh`` to skip recomputing.
     if canon_mesh is None:
-        mesh, vmask = _canonical_mesh(values, vert_cap, face_cap, mc_step)
+        mesh, vmask = _canonical_mesh(values, vert_cap, face_cap, mc_step,
+                                      use_pallas=use_pallas)
     else:
         mesh = canon_mesh
         vmask = jnp.arange(vert_cap) < mesh["n_verts"]
@@ -185,7 +187,7 @@ def fusion_frame(
 
     live_mesh = marching_cubes(
         live, level=0.0, vert_cap=live_vert_cap, face_cap=live_face_cap,
-        step_size=1,
+        step_size=1, use_pallas=use_pallas,
     )
     lmask = jnp.arange(live_vert_cap) < live_mesh["n_verts"]
 
@@ -329,7 +331,8 @@ def fusion_frame(
     # --- deformation-graph maintenance (201-239)
     n_dropped = jnp.int32(0)
     if update_graph:
-        mesh2, vmask2 = _canonical_mesh(values, vert_cap, face_cap, mc_step)
+        mesh2, vmask2 = _canonical_mesh(values, vert_cap, face_cap, mc_step,
+                                        use_pallas=use_pallas)
         n_act0 = wf.num_active
         wf, n_dropped = WF.update_graph(wf, mesh2["verts"], vmask2, knn_k)
         n_inserted = wf.num_active - n_act0

@@ -55,6 +55,12 @@ def _pad_to_multiple(vol, mult, fill):
     return jnp.pad(vol, pads, constant_values=fill), shape
 
 
+def _mc_pallas() -> bool:
+    """Use the fused Pallas MC front-end on TPU (bit-identical output;
+    ops/mc_pallas.py — shape support is gated inside marching_cubes)."""
+    return jax.default_backend() == "tpu"
+
+
 def _warn_mesh_overflow(mesh, vert_cap, face_cap):
     """Capacity saturation is loud: a truncated isosurface silently corrupts
     correspondences and exported meshes downstream."""
@@ -266,6 +272,7 @@ class FusionDM:
             vert_cap=self._vert_cap,
             face_cap=self._face_cap,
             step_size=step_size,
+            use_pallas=_mc_pallas(),
         )
         _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
         if tsdf is None:
@@ -337,6 +344,7 @@ class FusionDM:
             vert_cap=self._vert_cap,
             face_cap=self._face_cap,
             step_size=1,
+            use_pallas=_mc_pallas(),
         )
         nv, nf = int(out["n_verts"]), int(out["n_faces"])
         save_obj(
@@ -477,6 +485,7 @@ class Fusion:
             vert_cap=self._vert_cap,
             face_cap=self._face_cap,
             step_size=step_size,
+            use_pallas=_mc_pallas(),
         )
         _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
         if tsdf is None:
@@ -616,6 +625,13 @@ class Fusion:
                 gn_iters=8, cg_iters=32, dense_pairs=True,
             )
             cost_before = float(cost_before)
+            # Log-ordering note: the reference prints this BEFORE running
+            # the optimizer (core/fusion.py:378); here cost_before is a
+            # solver output (one fused dispatch), so with verbose
+            # streaming it appears after the solve completes. Asymmetry
+            # preserved from the reference: cost_before is the raw
+            # squared cost, cost_after the huberized one (same in
+            # frame.py's round_fn).
             if self._verbose:
                 print("Cost before optimization:", cost_before)
                 print("Current regularization weight:", rw)
@@ -766,6 +782,7 @@ class Fusion:
             vert_cap=self._vert_cap,
             face_cap=self._face_cap,
             step_size=1,
+            use_pallas=_mc_pallas(),
         )
         nv, nf = int(out["n_verts"]), int(out["n_faces"])
         save_obj(

@@ -105,3 +105,38 @@ def test_capacity_saturation_reported():
     vol = sphere_sdf(24, (12, 12, 12), 7.0)
     out = marching_cubes(jnp.array(vol), vert_cap=64, face_cap=64)
     assert int(out["n_verts"]) == 64  # saturated, caller can detect
+
+
+def test_pallas_frontend_bit_identical(rng):
+    """The fused Pallas front-end (interpret mode on CPU) must reproduce
+    the dense XLA path exactly: same verts, faces, normals, counts."""
+    X, Y, Z = 16, 16, 128
+    g = np.stack(np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij"), -1).astype(np.float32)
+    c = np.array([7.5, 7.5, 63.5], np.float32)
+    vol = np.linalg.norm((g - c) / np.array([1, 1, 4]), axis=-1) - 6.0
+    vol += 0.3 * rng.randn(X, Y, Z).astype(np.float32)  # rough surface
+
+    caps = dict(vert_cap=1 << 13, face_cap=1 << 14)
+    want = marching_cubes(jnp.asarray(vol), **caps)
+    got = marching_cubes(jnp.asarray(vol), use_pallas=True,
+                         pallas_interpret=True, **caps)
+
+    assert int(got["n_verts"]) == int(want["n_verts"]) > 100
+    assert int(got["n_faces"]) == int(want["n_faces"]) > 100
+    for k in ("verts", "normals", "values", "faces"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+    assert bool(got["overflow"]) == bool(want["overflow"])
+
+
+def test_pallas_frontend_shape_gate():
+    """Unsupported shapes (lane dim not 128-tileable) silently take the
+    dense path — same results, no error."""
+    vol = np.linalg.norm(
+        np.stack(np.meshgrid(*[np.arange(24)] * 3, indexing="ij"), -1)
+        - 11.5, axis=-1
+    ).astype(np.float32) - 7.0
+    a = marching_cubes(jnp.asarray(vol), vert_cap=4096, face_cap=8192)
+    b = marching_cubes(jnp.asarray(vol), use_pallas=True,
+                       pallas_interpret=True, vert_cap=4096, face_cap=8192)
+    np.testing.assert_array_equal(np.asarray(a["verts"]), np.asarray(b["verts"]))
