@@ -121,6 +121,18 @@ def npz_normalize_input(npz_path: str):
     return None
 
 
+def npz_feature_norm(npz_path: str) -> bool:
+    """Whether the weights were trained under the cosine (L2-normalized)
+    classifier head — in that regime descriptor MAGNITUDE carries no
+    class information, so matching must compare L2-normalized
+    descriptors. False for files without the marker (linear-head
+    training and converted reference checkpoints match raw features)."""
+    data = np.load(npz_path)
+    if "__feature_norm__" in data.files:
+        return bool(data["__feature_norm__"])
+    return False
+
+
 def load_npz_params(params, npz_path: str):
     """Overlay converted weights onto an init pytree by flattened-path name
     (paths like 'params/_Conv_0/Conv_0/kernel')."""
@@ -139,14 +151,17 @@ def load_npz_params(params, npz_path: str):
     return flax.traverse_util.unflatten_dict(flat, sep="/")
 
 
-def save_npz_params(params, npz_path: str, normalize_input: bool = True):
-    """Saves weights plus the input-scale contract they were trained with
-    (``__normalize_input__``), so loading picks the right preprocessing
-    automatically instead of silently feeding the wrong scale."""
+def save_npz_params(params, npz_path: str, normalize_input: bool = True,
+                    feature_norm: bool = False):
+    """Saves weights plus the contracts they were trained with: input
+    scale (``__normalize_input__``) and whether matching must compare
+    L2-normalized descriptors (``__feature_norm__``, cosine-head
+    training), so loading picks the right pipeline automatically."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params, sep="/")
     np.savez(npz_path, __normalize_input__=np.bool_(normalize_input),
+             __feature_norm__=np.bool_(feature_norm),
              **{k: np.asarray(v) for k, v in flat.items()})
 
 
@@ -158,11 +173,29 @@ def save_npz_params(params, npz_path: str, normalize_input: bool = True):
 # paper the reference follows.
 
 
-def dhbc_loss(features, labels, n_classes, head_kernel):
+def dhbc_loss(features, labels, n_classes, head_kernel,
+              cosine: bool = False, tau: float = 16.0):
     """features (B,H,W,16); labels (B,H,W) int32, 0 = unlabeled (masked);
     head_kernel (16, n_classes) classifier. Masked mean cross-entropy
-    scaled by total/valid pixels like the reference's _loss intent."""
-    logits = jnp.einsum("bhwf,fc->bhwc", features, head_kernel)
+    scaled by total/valid pixels like the reference's _loss intent.
+
+    ``cosine``: L2-normalize features and class weights and scale by
+    ``tau`` (a cosine classifier). The head is training-only scaffolding
+    (the deployed descriptor is the 16-D feature map), so this does NOT
+    change the reference topology — it bounds the logit scale on this
+    normalization-free net, which otherwise collapses to the class prior
+    at large n_classes (measured: 128 classes pinned at ln(128) with the
+    plain linear head)."""
+    if cosine:
+        f = features / jnp.maximum(
+            jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-6
+        )
+        w = head_kernel / jnp.maximum(
+            jnp.linalg.norm(head_kernel, axis=0, keepdims=True), 1e-6
+        )
+        logits = tau * jnp.einsum("bhwf,fc->bhwc", f, w)
+    else:
+        logits = jnp.einsum("bhwf,fc->bhwc", features, head_kernel)
     logp = jax.nn.log_softmax(logits, axis=-1)
     mask = labels > 0
     lab = jnp.maximum(labels - 1, 0)
@@ -171,14 +204,16 @@ def dhbc_loss(features, labels, n_classes, head_kernel):
     return jnp.sum(jnp.where(mask, nll, 0.0)) / valid
 
 
-def make_train_step(model, learning_rate=1e-4, n_classes=500):
+def make_train_step(model, learning_rate=1e-4, n_classes=500,
+                    cosine: bool = False, tau: float = 16.0):
     import optax
 
     tx = optax.adam(learning_rate)
 
     def loss_fn(params, head, depth, labels):
         feats = model.apply(params, depth)
-        return dhbc_loss(feats, labels, n_classes, head)
+        return dhbc_loss(feats, labels, n_classes, head, cosine=cosine,
+                         tau=tau)
 
     @jax.jit
     def step(params, head, opt_state, depth, labels):

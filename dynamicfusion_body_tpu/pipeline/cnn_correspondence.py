@@ -98,11 +98,15 @@ class CnnCorrespondence:
 
     def __init__(self, weights_npz: str | None = None, image_size: int = 512,
                  n_views: int = 24, znear: float = 1.0, zfar: float = 3.5,
-                 normalize_input: bool | None = None):
+                 normalize_input: bool | None = None,
+                 feature_norm: bool | None = None):
         """``normalize_input``: None = auto — use the contract recorded in
         the weights npz; weights files without the marker (converted
         reference checkpoints) default to False, the reference's raw
-        0..255 feed (core/sdf.py:135-136); random init defaults True."""
+        0..255 feed (core/sdf.py:135-136); random init defaults True.
+        ``feature_norm``: match L2-normalized descriptors (required for
+        cosine-head-trained weights, where magnitude is classless); None =
+        auto from the npz ``__feature_norm__`` marker."""
         if normalize_input is None:
             if weights_npz is not None:
                 from ..models.dhbc import npz_normalize_input
@@ -112,7 +116,15 @@ class CnnCorrespondence:
                 normalize_input = False if stored is None else stored
             else:
                 normalize_input = True
+        if feature_norm is None:
+            if weights_npz is not None:
+                from ..models.dhbc import npz_feature_norm
+
+                feature_norm = npz_feature_norm(weights_npz)
+            else:
+                feature_norm = False
         self.normalize_input = normalize_input
+        self.feature_norm = feature_norm
         self.model, self.params = init_dhbc(
             h=image_size, w=image_size, normalize_input=normalize_input
         )
@@ -129,6 +141,10 @@ class CnnCorrespondence:
             self.znear, self.zfar, h=self.image_size, w=self.image_size,
             normalize_input=self.normalize_input,
         )
+        if self.feature_norm:
+            feats = feats / jnp.maximum(
+                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6
+            )
         return jnp.where(vert_mask[:, None], feats, 0.0), cnt
 
     def match(self, canon_mesh, live_mesh, vmask, lmask):

@@ -122,6 +122,46 @@ def bend_mesh(verts, angle=0.7):
     return (out + c).astype(np.float32)
 
 
+def random_deform(verts, rng):
+    """Random large smooth deformation for training augmentation: one or
+    two height-blended bends about random horizontal axes (the same
+    family as ``bend_mesh`` but with random axis/angle/direction) plus a
+    small twist about the vertical. Per-vertex labels transfer unchanged
+    — this is the pose augmentation the DHBC recipe trains with (the
+    reference checkpoint was trained across many poses of the same body
+    model; core/net.py's net is pose-free so invariance must come from
+    data)."""
+    c = verts.mean(0)
+    p = verts - c
+    y = p[:, 1]
+    h = (y.max() - y.min()) + 1e-6
+
+    for _ in range(rng.integers(1, 3)):
+        angle = rng.uniform(0.5, 2.8) * rng.choice([-1.0, 1.0])
+        # blend profile: bend the top or the bottom, random sharpness
+        sharp = rng.uniform(5.0, 10.0)
+        sign = rng.choice([-1.0, 1.0])
+        t = 1.0 / (1.0 + np.exp(-sharp * sign * (y / h)))
+        # random horizontal bend axis: rotate the (y,z) bend plane about y
+        phi = rng.uniform(0.0, 2 * np.pi)
+        cp, sp = np.cos(phi), np.sin(phi)
+        xz = np.stack([cp * p[:, 0] + sp * p[:, 2],
+                       -sp * p[:, 0] + cp * p[:, 2]], 1)
+        ca, sa = np.cos(angle * t), np.sin(angle * t)
+        py, pz = p[:, 1].copy(), xz[:, 1].copy()
+        ny = ca * py - sa * pz
+        nz = sa * py + ca * pz
+        p = np.stack([cp * xz[:, 0] - sp * nz, ny,
+                      sp * xz[:, 0] + cp * nz], 1)
+
+    # small twist about the vertical axis, blended by height
+    tw = rng.uniform(-0.6, 0.6) * (p[:, 1] / h)
+    ct, st = np.cos(tw), np.sin(tw)
+    p = np.stack([ct * p[:, 0] - st * p[:, 2], p[:, 1],
+                  st * p[:, 0] + ct * p[:, 2]], 1)
+    return (p + c).astype(np.float32)
+
+
 def match_error(corr, valid, gt_live, vmask):
     """Mean 3D distance between matched live points and the TRUE deformed
     position of each canonical vertex."""
@@ -130,7 +170,8 @@ def match_error(corr, valid, gt_live, vmask):
     return float(d[m].mean()), int(m.sum())
 
 
-def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7):
+def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7,
+             feature_norm=False):
     """clpts vs CNN(random) vs CNN(trained) under a large bend."""
     import jax.numpy as jnp
 
@@ -168,6 +209,7 @@ def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7):
         cc = CnnCorrespondence(image_size=size)
         if p is not None:
             cc.params = p
+            cc.feature_norm = feature_norm
         corr, valid = cc.match(canon, live, vmask, vmask)
         out[tag] = match_error(corr, valid, live_v, np.ones(V, bool))
     return out
@@ -189,6 +231,21 @@ def main():
     ap.add_argument("--bends", type=float, nargs="+", default=[0.7],
                     help="bend angles (rad) for the --ablate sweep")
     ap.add_argument("--decay", action="store_true")
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine classifier head (needed for large "
+                         "n_classes — the plain linear head collapses to "
+                         "the class prior at 128 classes)")
+    ap.add_argument("--tau", type=float, default=16.0)
+    ap.add_argument("--init-from", default=None,
+                    help="npz weights to warm-start the feature net from "
+                         "(progressive coarse-to-fine training, as the "
+                         "DHBC paper does)")
+    ap.add_argument("--aug-poses", type=int, default=0,
+                    help="extra randomly-deformed copies of the mesh to "
+                         "render for training (deformation augmentation; "
+                         "labels transfer unchanged)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="minibatch size (views per step); 0 = full batch")
     args = ap.parse_args()
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -208,25 +265,45 @@ def main():
     labels = region_labels(verts, args.n_classes)
     mvps = view_mvps(args.n_views)
     data = make_dataset(verts, faces, labels, mvps, args.size)
-    print(f"# dataset: {len(data)} views at {args.size}^2", flush=True)
+    # deformation augmentation: bent/twisted variants of the same mesh
+    # with unchanged vertex labels — without it, descriptors trained on
+    # the rest pose alone do not transfer to the deformed live mesh
+    # (measured: trained ≈ random matching error at every bend angle)
+    rng = np.random.default_rng(7)
+    for _ in range(args.aug_poses):
+        dv = random_deform(verts, rng)
+        data += make_dataset(dv, faces, labels, mvps, args.size)
+    print(f"# dataset: {len(data)} views at {args.size}^2 "
+          f"({args.aug_poses} augmented poses)", flush=True)
 
     import optax
 
     model, params = init_dhbc(h=args.size, w=args.size)
+    if args.init_from:
+        from dynamicfusion_body_tpu.models.dhbc import load_npz_params
+
+        params = load_npz_params(params, args.init_from)
+        print(f"# warm-start from {args.init_from}", flush=True)
     # optional cosine decay (constant lr can diverge once the loss gets
     # low on this normalization-free net; decay too early can freeze it)
     lr = (optax.cosine_decay_schedule(args.lr, args.steps)
           if args.decay else args.lr)
-    step, init_opt = make_train_step(model, lr, args.n_classes)
+    step, init_opt = make_train_step(model, lr, args.n_classes,
+                                     cosine=args.cosine, tau=args.tau)
     head = jax.random.normal(
         jax.random.PRNGKey(1), (16, args.n_classes), jnp.float32
     ) * 0.1
     opt_state = init_opt(params, head)
 
     # full-batch steps over all views — batch-1 SGD left this net (no
-    # normalization layers, stride-4 stem) stuck at ln(n_classes)
+    # normalization layers, stride-4 stem) stuck at ln(n_classes).
+    # With augmentation the dataset grows; --batch samples a fixed-size
+    # view minibatch per step to keep step cost flat.
     depth_b = jnp.stack([d for d, _ in data])[..., None]
     lab_b = jnp.stack([l for _, l in data])
+    nview = depth_b.shape[0]
+    bsz = args.batch if 0 < args.batch < nview else nview
+    brng = np.random.default_rng(11)
 
     def pix_acc(p, hd):
         feats = model.apply(p, depth_b[:1])
@@ -241,8 +318,13 @@ def main():
     best = (np.inf, params, head)
     t0 = time.time()
     for i in range(args.steps):
+        if bsz < nview:
+            sel = brng.choice(nview, size=bsz, replace=False)
+            db, lb = depth_b[jnp.asarray(sel)], lab_b[jnp.asarray(sel)]
+        else:
+            db, lb = depth_b, lab_b
         params, head, opt_state, loss = step(
-            params, head, opt_state, depth_b, lab_b
+            params, head, opt_state, db, lb
         )
         l = float(loss)
         if l < best[0]:
@@ -256,13 +338,14 @@ def main():
     print(f"# best acc0 {pix_acc(params, head):.3f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    save_npz_params(params, args.out)
+    save_npz_params(params, args.out, feature_norm=args.cosine)
     np.save(args.out.replace(".npz", "_head.npy"), np.asarray(head))
     print(f"# saved {args.out}", flush=True)
 
     if args.ablate:
         for ang in args.bends:
-            res = ablation(verts, faces, params, args.size, angle=ang)
+            res = ablation(verts, faces, params, args.size, angle=ang,
+                           feature_norm=args.cosine)
             print(f"# correspondence ablation at bend={ang} rad "
                   "(mean 3D match error, n_valid):")
             for k, v in res.items():
