@@ -204,21 +204,56 @@ def dhbc_loss(features, labels, n_classes, head_kernel,
     return jnp.sum(jnp.where(mask, nll, 0.0)) / valid
 
 
+def coord_loss(features, labels, coords, coord_head, coord_bias):
+    """Auxiliary canonical-coordinate regression: a linear readout
+    (16→3) of the descriptor must reproduce each foreground pixel's
+    REST-POSE vertex coordinate (normalized), across every deformed
+    training pose. This forces the 16-D descriptors to embed canonical
+    surface position smoothly, so feature-space nearest-neighbor matching
+    (core/sdf.py:147-150's KDTree-over-features contract) approximates
+    canonical-space matching — the property that lets the CNN path win
+    where closest-point snaps to the wrong surface part under large
+    deformation. Classification over coarse regions alone leaves
+    within-region matching random (measured: trained ≈ random + a few %
+    at every bend angle).
+
+    features (B,H,W,16); labels (B,H,W) int32 (0 = background, masked);
+    coords (B,H,W,3) normalized rest-pose coordinates; head (16,3)+(3,).
+    Masked mean squared error."""
+    pred = jnp.einsum("bhwf,fc->bhwc", features, coord_head) + coord_bias
+    mask = labels > 0
+    se = jnp.sum((pred - coords) ** 2, axis=-1)
+    valid = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, se, 0.0)) / valid
+
+
 def make_train_step(model, learning_rate=1e-4, n_classes=500,
-                    cosine: bool = False, tau: float = 16.0):
+                    cosine: bool = False, tau: float = 16.0,
+                    coord_weight: float = 0.0):
+    """``coord_weight > 0`` adds the coordinate-regression auxiliary; the
+    returned ``step`` then takes ``head = (cls (16,C), coord (16,3),
+    bias (3,))`` and an extra ``coords`` batch. With the default 0 the
+    signature is unchanged (classification only)."""
     import optax
 
     tx = optax.adam(learning_rate)
 
-    def loss_fn(params, head, depth, labels):
+    def loss_fn(params, head, depth, labels, coords=None):
         feats = model.apply(params, depth)
+        if coord_weight > 0.0:
+            cls_head, chead, cbias = head
+            ce = dhbc_loss(feats, labels, n_classes, cls_head,
+                           cosine=cosine, tau=tau)
+            return ce + coord_weight * coord_loss(
+                feats, labels, coords, chead, cbias
+            )
         return dhbc_loss(feats, labels, n_classes, head, cosine=cosine,
                          tau=tau)
 
     @jax.jit
-    def step(params, head, opt_state, depth, labels):
+    def step(params, head, opt_state, depth, labels, coords=None):
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            params, head, depth, labels
+            params, head, depth, labels, coords
         )
         # one optimizer over (features, head) jointly — a plain-SGD head
         # next to an Adam feature net stalls at its init, logits stay ~0,

@@ -53,6 +53,65 @@ def test_dhbc_training_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_dhbc_training_with_coord_auxiliary():
+    """coord_weight > 0: step takes (cls, coord, bias) heads + coords and
+    reduces the combined loss; the coordinate readout moves toward the
+    target (features gain canonical-position information)."""
+    from dynamicfusion_body_tpu.models.dhbc import coord_loss
+
+    model, params = init_dhbc(h=64, w=64)
+    head = (
+        jnp.zeros((16, 10), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(2), (16, 3)) * 0.1,
+        jnp.zeros(3, jnp.float32),
+    )
+    step, init_opt = make_train_step(
+        model, learning_rate=1e-3, n_classes=10, coord_weight=30.0
+    )
+    opt_state = init_opt(params, head)
+    rng = np.random.RandomState(0)
+    # learnable signal: coords are a smooth function of the depth value
+    # (as real canonical coordinates are of the rendered surface)
+    g = np.linspace(0, 1, 64, dtype=np.float32)
+    d = (np.sin(6 * g[:, None]) * np.cos(4 * g[None, :]) * 0.5 + 0.5)
+    depth = jnp.asarray(d[None, :, :, None] * 255.0)
+    coords = jnp.asarray(
+        np.stack([d - 0.5, 0.5 - d, d * 0.0], -1)[None]
+    )
+    labels = jnp.asarray(
+        np.minimum((d * 10).astype(np.int32) + 1, 10)[None]
+    )
+    losses, closses = [], []
+    for _ in range(5):
+        params, head, opt_state, loss = step(
+            params, head, opt_state, depth, labels, coords
+        )
+        feats = model.apply(params, depth)
+        closses.append(
+            float(coord_loss(feats, labels, coords, head[1], head[2]))
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert min(closses) < closses[0]
+
+
+def test_coord_loss_masks_background():
+    """Background (label 0) pixels must not contribute to coord_loss."""
+    from dynamicfusion_body_tpu.models.dhbc import coord_loss
+
+    feats = jnp.ones((1, 4, 4, 16))
+    labels = jnp.zeros((1, 4, 4), jnp.int32).at[0, 1, 1].set(3)
+    coords = jnp.zeros((1, 4, 4, 3))
+    w = jnp.zeros((16, 3))
+    # bias 1 → prediction 1 everywhere; only the single fg pixel counts
+    l = float(coord_loss(feats, labels, coords, w, jnp.ones(3)))
+    np.testing.assert_allclose(l, 3.0, atol=1e-6)
+    # corrupt every background coord: loss unchanged
+    coords2 = coords.at[0, 2:, :].set(99.0)
+    l2 = float(coord_loss(feats, labels, coords2, w, jnp.ones(3)))
+    np.testing.assert_allclose(l2, 3.0, atol=1e-6)
+
+
 def test_view_mvps_count_and_finite():
     mvps = view_mvps()
     assert mvps.shape == (24, 4, 4)

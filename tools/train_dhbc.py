@@ -75,8 +75,13 @@ def region_labels(verts, n_classes, seed=0):
     return (np.argmin(d, axis=1) + 1).astype(np.int32)
 
 
-def make_dataset(verts, faces, vlabels, mvps, size, znear=1.0, zfar=3.5):
-    """Per view: (depth8 (H,W,1), labels (H,W) int32)."""
+def make_dataset(verts, faces, vlabels, mvps, size, znear=1.0, zfar=3.5,
+                 vcoords=None):
+    """Per view: (depth8 (H,W,1), labels (H,W) int32[, coords (H,W,3)]).
+
+    ``vcoords``: per-vertex REST-POSE normalized coordinates. Like the
+    region labels they transfer unchanged to deformed copies of the mesh
+    (identity supervision), so pass the same table for every pose."""
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +97,9 @@ def make_dataset(verts, faces, vlabels, mvps, size, znear=1.0, zfar=3.5):
     b = zfar * znear / (znear - zfar)
     a = -b / znear
     vl = jnp.asarray(np.concatenate([[0], vlabels]))  # 0 = background
+    vc = (None if vcoords is None else
+          jnp.asarray(np.concatenate([np.zeros((1, 3), np.float32),
+                                      vcoords])))
 
     @jax.jit
     def one(mvp):
@@ -101,7 +109,10 @@ def make_dataset(verts, faces, vlabels, mvps, size, znear=1.0, zfar=3.5):
             jnp.clip((zfar - b / (zwin - a)) / (zfar - znear) * 255.0, 0, 255)
         )
         lab = jnp.take(vl, ids, axis=0)
-        return depth8.astype(jnp.float32), lab.astype(jnp.int32)
+        out = (depth8.astype(jnp.float32), lab.astype(jnp.int32))
+        if vc is not None:
+            out += (jnp.take(vc, ids, axis=0).astype(jnp.float32),)
+        return out
 
     return [one(jnp.asarray(m)) for m in mvps]
 
@@ -246,6 +257,12 @@ def main():
                          "labels transfer unchanged)")
     ap.add_argument("--batch", type=int, default=0,
                     help="minibatch size (views per step); 0 = full batch")
+    ap.add_argument("--coord-weight", type=float, default=0.0,
+                    help="weight of the canonical-coordinate regression "
+                         "auxiliary (a linear 16→3 readout of the "
+                         "descriptor must reproduce each pixel's "
+                         "rest-pose coordinate across all deformed "
+                         "poses); 0 = classification only")
     args = ap.parse_args()
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -263,8 +280,15 @@ def main():
     verts, faces = body_mesh()
     print(f"# mesh: {len(verts)} verts, {len(faces)} faces", flush=True)
     labels = region_labels(verts, args.n_classes)
+    # rest-pose coordinates normalized to ~[-0.5, 0.5] by the mesh height
+    # — the identity signal for the coordinate-regression auxiliary
+    vc = None
+    if args.coord_weight > 0:
+        c = verts.mean(0)
+        h = (verts[:, 1].max() - verts[:, 1].min()) + 1e-6
+        vc = ((verts - c) / h).astype(np.float32)
     mvps = view_mvps(args.n_views)
-    data = make_dataset(verts, faces, labels, mvps, args.size)
+    data = make_dataset(verts, faces, labels, mvps, args.size, vcoords=vc)
     # deformation augmentation: bent/twisted variants of the same mesh
     # with unchanged vertex labels — without it, descriptors trained on
     # the rest pose alone do not transfer to the deformed live mesh
@@ -272,7 +296,8 @@ def main():
     rng = np.random.default_rng(7)
     for _ in range(args.aug_poses):
         dv = random_deform(verts, rng)
-        data += make_dataset(dv, faces, labels, mvps, args.size)
+        data += make_dataset(dv, faces, labels, mvps, args.size,
+                             vcoords=vc)
     print(f"# dataset: {len(data)} views at {args.size}^2 "
           f"({args.aug_poses} augmented poses)", flush=True)
 
@@ -289,25 +314,34 @@ def main():
     lr = (optax.cosine_decay_schedule(args.lr, args.steps)
           if args.decay else args.lr)
     step, init_opt = make_train_step(model, lr, args.n_classes,
-                                     cosine=args.cosine, tau=args.tau)
+                                     cosine=args.cosine, tau=args.tau,
+                                     coord_weight=args.coord_weight)
     head = jax.random.normal(
         jax.random.PRNGKey(1), (16, args.n_classes), jnp.float32
     ) * 0.1
+    if args.coord_weight > 0:
+        head = (head,
+                jax.random.normal(jax.random.PRNGKey(2), (16, 3),
+                                  jnp.float32) * 0.1,
+                jnp.zeros(3, jnp.float32))
     opt_state = init_opt(params, head)
 
     # full-batch steps over all views — batch-1 SGD left this net (no
     # normalization layers, stride-4 stem) stuck at ln(n_classes).
     # With augmentation the dataset grows; --batch samples a fixed-size
     # view minibatch per step to keep step cost flat.
-    depth_b = jnp.stack([d for d, _ in data])[..., None]
-    lab_b = jnp.stack([l for _, l in data])
+    depth_b = jnp.stack([d[0] for d in data])[..., None]
+    lab_b = jnp.stack([d[1] for d in data])
+    coord_b = (jnp.stack([d[2] for d in data])
+               if args.coord_weight > 0 else None)
     nview = depth_b.shape[0]
     bsz = args.batch if 0 < args.batch < nview else nview
     brng = np.random.default_rng(11)
 
     def pix_acc(p, hd):
         feats = model.apply(p, depth_b[:1])
-        pred = np.asarray(jnp.argmax(feats[0] @ hd, axis=-1)) + 1
+        cls = hd[0] if isinstance(hd, tuple) else hd
+        pred = np.asarray(jnp.argmax(feats[0] @ cls, axis=-1)) + 1
         lab = np.asarray(lab_b[0])
         fg = lab > 0
         return float((pred[fg] == lab[fg]).mean())
@@ -321,10 +355,12 @@ def main():
         if bsz < nview:
             sel = brng.choice(nview, size=bsz, replace=False)
             db, lb = depth_b[jnp.asarray(sel)], lab_b[jnp.asarray(sel)]
+            cb = (coord_b[jnp.asarray(sel)] if coord_b is not None
+                  else None)
         else:
-            db, lb = depth_b, lab_b
+            db, lb, cb = depth_b, lab_b, coord_b
         params, head, opt_state, loss = step(
-            params, head, opt_state, db, lb
+            params, head, opt_state, db, lb, cb
         )
         l = float(loss)
         if l < best[0]:
@@ -339,7 +375,8 @@ def main():
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     save_npz_params(params, args.out, feature_norm=args.cosine)
-    np.save(args.out.replace(".npz", "_head.npy"), np.asarray(head))
+    cls_head = head[0] if isinstance(head, tuple) else head
+    np.save(args.out.replace(".npz", "_head.npy"), np.asarray(cls_head))
     print(f"# saved {args.out}", flush=True)
 
     if args.ablate:
