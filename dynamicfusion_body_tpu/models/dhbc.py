@@ -229,14 +229,23 @@ def coord_loss(features, labels, coords, coord_head, coord_bias):
 
 def make_train_step(model, learning_rate=1e-4, n_classes=500,
                     cosine: bool = False, tau: float = 16.0,
-                    coord_weight: float = 0.0):
+                    coord_weight: float = 0.0,
+                    clip_norm: float | None = None):
     """``coord_weight > 0`` adds the coordinate-regression auxiliary; the
     returned ``step`` then takes ``head = (cls (16,C), coord (16,3),
     bias (3,))`` and an extra ``coords`` batch. With the default 0 the
-    signature is unchanged (classification only)."""
+    signature is unchanged (classification only).
+
+    ``clip_norm``: global-norm gradient clipping. This normalization-free
+    AlexNet-era net diverges without warning under Adam mid-training
+    (measured repeatedly: converging to acc 0.16-0.76 then collapsing to
+    the class prior within 300 steps); clipping bounds the outlier
+    minibatch gradients that trigger it."""
     import optax
 
-    tx = optax.adam(learning_rate)
+    tx = (optax.chain(optax.clip_by_global_norm(clip_norm),
+                      optax.adam(learning_rate))
+          if clip_norm else optax.adam(learning_rate))
 
     def loss_fn(params, head, depth, labels, coords=None):
         feats = model.apply(params, depth)

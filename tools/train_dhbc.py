@@ -257,6 +257,10 @@ def main():
                          "labels transfer unchanged)")
     ap.add_argument("--batch", type=int, default=0,
                     help="minibatch size (views per step); 0 = full batch")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off); guards "
+                         "against the measured mid-training collapse of "
+                         "this normalization-free net")
     ap.add_argument("--coord-weight", type=float, default=0.0,
                     help="weight of the canonical-coordinate regression "
                          "auxiliary (a linear 16→3 readout of the "
@@ -315,7 +319,8 @@ def main():
           if args.decay else args.lr)
     step, init_opt = make_train_step(model, lr, args.n_classes,
                                      cosine=args.cosine, tau=args.tau,
-                                     coord_weight=args.coord_weight)
+                                     coord_weight=args.coord_weight,
+                                     clip_norm=args.clip or None)
     head = jax.random.normal(
         jax.random.PRNGKey(1), (16, args.n_classes), jnp.float32
     ) * 0.1
