@@ -111,13 +111,27 @@ def main():
                             canon_mesh=mesh, **hyper)
 
     # warmup (compile both variants: first frame computes the canonical
-    # mesh in-graph, later frames receive the previous frame's mesh)
+    # mesh in-graph, later frames receive the previous frame's mesh).
+    # Guarded: if a fast-path kernel fails on this chip (Mosaic compile
+    # or runtime), fall back to the conservative XLA path and still
+    # produce a measurement rather than nothing.
     t0 = time.time()
-    out = frame(values, weights, wf, lw, lives[0], None)
-    stats = out[4]
-    _ = float(stats.cost_after[-1])  # force completion
-    out2 = frame(*out[:4], lives[0], out[5])
-    _ = float(out2[4].cost_after[-1])
+    try:
+        out = frame(values, weights, wf, lw, lives[0], None)
+        stats = out[4]
+        _ = float(stats.cost_after[-1])  # force completion
+        out2 = frame(*out[:4], lives[0], out[5])
+        _ = float(out2[4].cost_after[-1])
+    except Exception as e:  # noqa: BLE001 — any device failure
+        print(f"# fast path failed ({type(e).__name__}: {e}); "
+              "retrying with conservative knobs", file=sys.stderr)
+        hyper.update(use_pallas=False, reuse_corr=False,
+                     use_grid_corr=False)
+        out = frame(values, weights, wf, lw, lives[0], None)
+        stats = out[4]
+        _ = float(stats.cost_after[-1])
+        out2 = frame(*out[:4], lives[0], out[5])
+        _ = float(out2[4].cost_after[-1])
     print(
         f"# warmup frames {time.time()-t0:.1f}s corr={int(stats.n_corr)} "
         f"nodes={int(stats.n_nodes)} verts={int(stats.n_verts)}",
