@@ -25,6 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", required=True)
     ap.add_argument("--bends", type=float, nargs="+", default=[0.7, 1.5, 3.0])
+    ap.add_argument("--yaw", type=float, default=0.0,
+                    help="rigid yaw (rad) composed on each bend — the "
+                         "loop-closure / tracking-loss regime")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -49,9 +52,9 @@ def main():
     fnorm = npz_feature_norm(args.weights)
     for ang in args.bends:
         res = ablation(verts, faces, params, args.size, angle=ang,
-                       feature_norm=fnorm)
-        print(f"# ablation at bend={ang} rad, size={args.size} "
-              "(mean 3D match error, n_valid):")
+                       feature_norm=fnorm, yaw=args.yaw)
+        print(f"# ablation at bend={ang} rad, yaw={args.yaw} rad, "
+              f"size={args.size} (mean 3D match error, n_valid):")
         for k, v in res.items():
             print(f"#   {k:12s} err={v[0]:.4f} n={v[1]}", flush=True)
 

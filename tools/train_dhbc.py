@@ -148,7 +148,7 @@ def random_deform(verts, rng):
     h = (y.max() - y.min()) + 1e-6
 
     for _ in range(rng.integers(1, 3)):
-        angle = rng.uniform(0.5, 2.8) * rng.choice([-1.0, 1.0])
+        angle = rng.uniform(0.5, 3.2) * rng.choice([-1.0, 1.0])
         # blend profile: bend the top or the bottom, random sharpness
         sharp = rng.uniform(5.0, 10.0)
         sign = rng.choice([-1.0, 1.0])
@@ -173,6 +173,21 @@ def random_deform(verts, rng):
     return (p + c).astype(np.float32)
 
 
+def yaw_mesh(verts, yaw):
+    """Rigid yaw about the vertical axis through the centroid — stacked on
+    a bend it models the loop-closure / tracking-loss regime: the live
+    surface is a large unknown motion away from the canonical estimate,
+    so closest-point snaps canonical vertices to the WRONG side of the
+    body, while descriptor matching is viewpoint-invariant (features are
+    averaged over the full yaw view circle, core/sdf.py:126-146)."""
+    c = verts.mean(0)
+    p = verts - c
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    out = np.stack([cy * p[:, 0] + sy * p[:, 2], p[:, 1],
+                    -sy * p[:, 0] + cy * p[:, 2]], 1)
+    return (out + c).astype(np.float32)
+
+
 def match_error(corr, valid, gt_live, vmask):
     """Mean 3D distance between matched live points and the TRUE deformed
     position of each canonical vertex."""
@@ -182,8 +197,9 @@ def match_error(corr, valid, gt_live, vmask):
 
 
 def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7,
-             feature_norm=False):
-    """clpts vs CNN(random) vs CNN(trained) under a large bend."""
+             feature_norm=False, yaw=0.0):
+    """clpts vs CNN(random) vs CNN(trained) under a large bend, optionally
+    composed with a rigid yaw (loop-closure regime, see yaw_mesh)."""
     import jax.numpy as jnp
 
     from dynamicfusion_body_tpu.pipeline.cnn_correspondence import (
@@ -194,6 +210,8 @@ def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7,
     )
 
     live_v = bend_mesh(verts, angle=angle)
+    if yaw:
+        live_v = yaw_mesh(live_v, yaw)
     V = len(verts)
     vmask = jnp.ones(V, bool)
     canon = {"verts": jnp.asarray(verts), "faces": jnp.asarray(faces),
