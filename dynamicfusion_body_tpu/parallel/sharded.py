@@ -107,7 +107,7 @@ def solve_nonrigid_sharded(
     gn_iters: int = 8,
     cg_iters: int = 32,
     damping: float = 1e-4,
-    ftol: float = 1e-6,
+    ftol: float = 1e-5,  # scipy parity (core/fusion.py:391)
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
 ):

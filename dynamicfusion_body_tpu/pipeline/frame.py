@@ -113,8 +113,9 @@ def init_canonical(
     static_argnames=(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
-        "tolerance", "brick", "n_candidates", "update_graph", "use_pallas",
-        "use_grid_corr", "approx_knn", "reuse_corr", "allow_large",
+        "ftol", "tolerance", "brick", "n_candidates", "update_graph",
+        "use_pallas", "use_grid_corr", "approx_knn", "reuse_corr",
+        "allow_large",
     ),
 )
 def fusion_frame(
@@ -135,6 +136,7 @@ def fusion_frame(
     solve_iters: int = 3,
     gn_iters: int = 8,
     cg_iters: int = 32,
+    ftol: float = 1e-5,  # scipy parity (core/fusion.py:391)
     tolerance: float = 0.2,
     brick: int = 8,
     n_candidates: int = 16,
@@ -277,7 +279,8 @@ def fusion_frame(
             # before and huberized cost after, core/fusion.py:375-398)
             new_dq, cb, _, ca = solve_nonrigid(
                 node_dq, *data_args, *reg_args, lw_,
-                gn_iters=gn_iters, cg_iters=cg_iters, dense_pairs=True,
+                gn_iters=gn_iters, cg_iters=cg_iters, ftol=ftol,
+                dense_pairs=True,
             )
             return new_dq, cb, ca, risk_
 

@@ -37,6 +37,15 @@ cost0 == cost1 with fixed damping 1e-4, while damping 1e-2 cut the cost
 4×) — the fixed-damping design only converged in the small-motion bench
 regime.
 
+Retries are spent ONLY on genuine overshoots: a rejected try whose
+energy is within 100·ftol of the current energy is FLAT — the solver
+sits at a (local) optimum where more damping can only produce smaller
+steps to the same energy, so the retry loop exits immediately and the
+ftol test ends the round. Without this exit, every CONVERGED solve
+round burned MAX_LM_RETRIES full CG solves + residual passes discovering
+it was done (measured round 3: 8 GN × 16 CG went 64 → 381 ms standalone
+and the fused frame 277 → 1192 ms — the retry loop, not the step math).
+
 The same GN core runs single-chip and under ``shard_map`` — the sharded
 variant (parallel/sharded.py) passes a ``psum`` hook applied to every
 data-term reduction; the solver math exists once.
@@ -86,6 +95,26 @@ def relaxation_step(cost_before, cost_after, rw):
 def _blend_with(dqs_k, wts_k):
     """Weighted DQ sum + 8-norm normalization (weights precomputed)."""
     return dq_normalize8(jnp.sum(wts_k[:, None] * dqs_k, axis=0))
+
+
+def _inv8_spd(D):
+    """Batched (M, 8, 8) inverse by unrolled Gauss-Jordan, no pivoting.
+
+    The preconditioner blocks are GN normal blocks + λI — symmetric
+    positive definite — so pivot-free elimination is stable (SPD never
+    needs pivoting). ``jnp.linalg.inv``'s batched LU-with-pivoting costs
+    8.8 ms for (4096, 8, 8) on a v5e — HALF the per-GN-step fixed cost;
+    this unrolled form runs the same inverse in 1.1 ms as ~24 fused
+    vector ops (measured round 3, tools/exp_solver.py postmortem)."""
+    n = D.shape[-1]
+    aug = jnp.concatenate(
+        [D, jnp.broadcast_to(jnp.eye(n, dtype=D.dtype), D.shape)], axis=-1
+    )  # (M, n, 2n)
+    for i in range(n):
+        piv = aug[:, i : i + 1, :] / aug[:, i : i + 1, i : i + 1]
+        aug = aug - aug[:, :, i : i + 1] * piv
+        aug = aug.at[:, i, :].set(piv[:, 0, :])
+    return aug[:, :, n:]
 
 
 def make_sorted_reducer(ids, num_segments):
@@ -311,7 +340,7 @@ def gn_solve_core(
             block preconditioner at THIS λ — Jacobians/normal blocks are
             closed over, so an LM retry re-runs only this."""
             D = blkT + lam * jnp.eye(8)[None, :, :]
-            Dinv = jnp.linalg.inv(D)  # (M, 8, 8)
+            Dinv = _inv8_spd(D)  # (M, 8, 8)
 
             def precond(r8):  # (8, M) → (8, M)
                 return jnp.einsum(
@@ -385,9 +414,11 @@ def gn_solve_core(
         # LM trust loop: accept the step if the energy decreases,
         # otherwise retry with 10× damping (Jacobians reused — see
         # cg_solve). `accepted` replicates under shard_map because e/e_new
-        # are psum'd.
+        # are psum'd. A FLAT rejection (e_new barely above e — the solver
+        # is at the optimum, not overshooting) exits instead of retrying:
+        # see the module docstring's cost note.
         def lm_body(st):
-            dmp_, x_b, e_b, _, tries = st
+            dmp_, x_b, e_b, _, _, tries = st
             x_new, e_new = try_step(dmp_)
             ok = e_new <= e
             x_b = jnp.where(ok, x_new, x_b)
@@ -395,14 +426,18 @@ def gn_solve_core(
             dmp_next = jnp.where(
                 ok, jnp.maximum(dmp_ / 3.0, damping), dmp_ * 10.0
             )
-            return dmp_next, x_b, e_b, ok, tries + 1
+            return dmp_next, x_b, e_b, ok, e_new, tries + 1
 
         def lm_cond(st):
-            _, _, _, accepted, tries = st
-            return (~accepted) & (tries < MAX_LM_RETRIES)
+            _, _, _, accepted, e_last, tries = st
+            flat = (e_last - e) <= (100.0 * ftol) * e
+            return (~accepted) & (~flat) & (tries < MAX_LM_RETRIES)
 
-        st = (dmp, x, e, jnp.bool_(False), jnp.int32(0))
-        dmp_out, x_b, e_b, _, _ = jax.lax.while_loop(lm_cond, lm_body, st)
+        st = (dmp, x, e, jnp.bool_(False), jnp.float32(jnp.inf),
+              jnp.int32(0))
+        dmp_out, x_b, e_b, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body, st
+        )
         return x_b, e_b, dmp_out
 
     def gn_step(carry, _):
@@ -448,7 +483,7 @@ def solve_nonrigid(
     gn_iters: int = 8,
     cg_iters: int = 32,
     damping: float = 1e-4,
-    ftol: float = 1e-6,
+    ftol: float = 1e-5,  # the reference's scipy ftol (core/fusion.py:391)
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
 ):

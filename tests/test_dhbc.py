@@ -65,8 +65,13 @@ def test_dhbc_training_with_coord_auxiliary():
         jax.random.normal(jax.random.PRNGKey(2), (16, 3)) * 0.1,
         jnp.zeros(3, jnp.float32),
     )
+    # the production recipe's stability knobs (tools/train_dhbc.py):
+    # this normalization-free topology at lr 1e-3 / coord_weight 30
+    # WITHOUT clipping oscillates (measured: loss 8.7 → 804 → 29 over
+    # 5 steps), so the unclipped combined loss is not monotone-testable.
     step, init_opt = make_train_step(
-        model, learning_rate=1e-3, n_classes=10, coord_weight=30.0
+        model, learning_rate=3e-4, n_classes=10, coord_weight=30.0,
+        clip_norm=1.0,
     )
     opt_state = init_opt(params, head)
     rng = np.random.RandomState(0)
@@ -81,8 +86,10 @@ def test_dhbc_training_with_coord_auxiliary():
     labels = jnp.asarray(
         np.minimum((d * 10).astype(np.int32) + 1, 10)[None]
     )
+    feats0 = model.apply(params, depth)
+    closs_init = float(coord_loss(feats0, labels, coords, head[1], head[2]))
     losses, closses = [], []
-    for _ in range(5):
+    for _ in range(10):
         params, head, opt_state, loss = step(
             params, head, opt_state, depth, labels, coords
         )
@@ -92,7 +99,7 @@ def test_dhbc_training_with_coord_auxiliary():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
-    assert min(closses) < closses[0]
+    assert min(closses) < closs_init
 
 
 def test_coord_loss_masks_background():
