@@ -128,7 +128,10 @@ def solve_nonrigid_sharded(
             node_dq, data_args, reg_args, lw_dq,
             gn_iters, cg_iters, damping, ftol,
             lambda x: jax.lax.psum(x, VOXEL_AXIS),
-            cg_rtol=cg_rtol, dense_pairs=dense_pairs,
+            # the ELL slot mapping is shard-local and cannot be psum'd
+            # (solvers/nonrigid.gn_solve_core docstring) — the sharded
+            # solve keeps the row matvec, which the psum hook covers
+            cg_rtol=cg_rtol, dense_pairs=dense_pairs, use_ell=False,
         )
 
     return jax.jit(

@@ -204,6 +204,117 @@ def nonrigid_energy(node_dq, data_args, reg_args, lw_dq, robust: bool = True):
     return rob if robust else raw
 
 
+def make_block_ell(nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
+                   D: int):
+    """Slot mapping for the block-ELL normal matrix (computed once per
+    solve round; reused by every GN step and CG iteration).
+
+    JᵀWJ couples node a with node b iff they are co-selected in some
+    vertex's kNN (k² pairs per vertex) or appear in a regularization
+    pair (4 combos per pair). The coupling graph is tiny — measured
+    max degree 12 / mean 9 at the 256³ bench's 4096-node graph
+    (tools/exp_solver.py postmortem) — so the whole matrix fits an
+    (M, D, 8, 8) ELL table and the CG matvec collapses from ~10
+    gather/segment ops over the (8, V·k) row layout to ONE (8, M·D)
+    gather + ONE batched block einsum (~0.2 ms vs 1.8 ms per
+    iteration).
+
+    Returns (reduce_ell, ell_nbr, self_ids, self_present, n_overflow):
+      reduce_ell — reducer (64, T) → (64, M·D) summing contributions
+          (given in ORIGINAL enumeration order: vertex-major k² data
+          pairs, then the 4·P reg combos) into their ELL slots;
+      ell_nbr (M·D,) int32 — coupled node id per slot (0 where empty —
+          harmless: the block there is exactly zero);
+      self_ids (M,) int32 — slot of each node's (m, m) diagonal block
+          (clamped in-range; mask with self_present);
+      self_present (M,) bool — whether the (m, m) block exists;
+      n_overflow — contributions whose node degree exceeded D, excluded
+          from the assembly. Overflow UNDER-ASSEMBLES the matvec
+          operator (never corrupts it): CG then solves a perturbed
+          system, but every step is still accepted/rejected on EXACT
+          residual energies, so the failure mode is slower convergence,
+          not wrong results. D defaults to 2× the measured bench
+          maximum; tests/test_solvers.py asserts coverage.
+
+    Everything is built scatter-free from ONE argsort: segment ids
+    node·D + d_slot are monotone in key order (d_slot clamped, dead keys
+    sort last), so slot sums are cumsum differences at searchsorted
+    boundaries and slot metadata are gathers at segment starts.
+    """
+    V, k = nbr_idx.shape
+    i32 = jnp.int32
+    # chunk-major enumeration: one (ka, kb) chunk of V contributions at a
+    # time, then the 4 reg combos — matches the transpose-free chunked
+    # contribution build in gn_solve_core (a (V,k,k,8,8) layout would
+    # need a 75 MB 5-D transpose per GN step)
+    a_d = jnp.concatenate(
+        [nbr_idx[:, ka] for ka in range(k) for _ in range(k)]
+    )
+    b_d = jnp.concatenate(
+        [nbr_idx[:, kb] for _ in range(k) for kb in range(k)]
+    )
+    v_d = jnp.tile(corr_mask, k * k)
+    a_r = jnp.concatenate([pair_i, pair_i, pair_j, pair_j])
+    b_r = jnp.concatenate([pair_i, pair_j, pair_i, pair_j])
+    v_r = jnp.tile(pair_mask, 4)
+    a = jnp.concatenate([a_d, a_r]).astype(i32)
+    b = jnp.concatenate([b_d, b_r]).astype(i32)
+    valid = jnp.concatenate([v_d, v_r])
+    BIG = jnp.int32(M * M)  # M ≤ 46340 keeps M² in int32
+    keys = jnp.where(valid, a * M + b, BIG)
+    T = keys.shape[0]
+
+    order = jnp.argsort(keys)
+    sk = jnp.take(keys, order, axis=0)
+    node = sk // M                                   # = M for dead rows
+    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
+    newseg = sk != prev
+    seg_id = jnp.cumsum(newseg.astype(i32)) - 1
+    first_idx = searchsorted1d(node, jnp.arange(M, dtype=i32), side="left")
+    first_seg = jnp.take(seg_id, jnp.minimum(first_idx, T - 1), axis=0)
+    d_slot = seg_id - jnp.take(first_seg, jnp.minimum(node, M - 1), axis=0)
+    dead = node >= M
+    over = (d_slot >= D) & ~dead
+    keep = (~(dead | over)).astype(jnp.float32)
+    # monotone: d_slot increases within a node (clamping preserves it),
+    # node*D dominates across nodes, dead keys sort last
+    ids_mono = jnp.where(dead, M * D,
+                         node * D + jnp.minimum(d_slot, D - 1))
+    slots = jnp.arange(M * D, dtype=i32)
+    seg_hi = searchsorted1d(ids_mono, slots, side="right")
+    # in a sorted array, left(s) == right(s-1): one search, not two
+    seg_lo = jnp.concatenate([jnp.zeros((1,), seg_hi.dtype), seg_hi[:-1]])
+
+    def reduce_ell(x):  # (R, T) original order → (R, M·D)
+        xs = jnp.take(x, order, axis=1) * keep[None, :]
+        csum = jnp.cumsum(xs, axis=1)
+        padded = jnp.concatenate(
+            [jnp.zeros(x.shape[:1] + (1,), x.dtype), csum], axis=1
+        )
+        return jnp.take(padded, seg_hi, axis=1) - jnp.take(
+            padded, seg_lo, axis=1
+        )
+
+    empty = seg_hi == seg_lo
+    ell_nbr = jnp.where(
+        empty, 0, jnp.take(sk % M, jnp.minimum(seg_lo, T - 1), axis=0)
+    )
+
+    key_self = (jnp.arange(M, dtype=i32) * M) + jnp.arange(M, dtype=i32)
+    pos = searchsorted1d(sk, key_self, side="left")
+    pos_c = jnp.minimum(pos, T - 1)
+    present = (jnp.take(sk, pos_c, axis=0) == key_self) & ~jnp.take(
+        over, pos_c, axis=0
+    )
+    self_ids = jnp.minimum(
+        jnp.take(ids_mono, pos_c, axis=0), M * D - 1
+    )
+    return reduce_ell, ell_nbr, self_ids, present, jnp.sum(over)
+
+
+ELL_DEGREE_CAP = 24  # 2× the measured bench max coupling degree (12)
+
+
 def gn_solve_core(
     node_dq,
     data_args,
@@ -216,6 +327,7 @@ def gn_solve_core(
     psum,
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
+    use_ell: bool = True,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
@@ -231,6 +343,15 @@ def gn_solve_core(
     iteration monotone regardless. ``dense_pairs``: promise that
     pair_i == repeat(arange(M), k) (what make_reg_pairs always builds), so
     pair-term gathers/reductions become reshapes.
+
+    ``use_ell``: assemble JᵀWJ once per GN step into an (M, D, 8, 8)
+    block-ELL table (see make_block_ell) so each CG matvec is one gather
+    + one block einsum instead of ~10 gather/segment ops over the
+    (8, V·k) rows — 1.8 → ~0.2 ms per iteration at bench scale. Single
+    chip only: the slot mapping is built from the LOCAL vertex shard, so
+    assembled blocks cannot be psum'd across devices — the sharded
+    solver passes use_ell=False and keeps the row matvec (whose
+    reductions the psum hook covers).
 
     Returns (node_dq, cost0_raw, cost0, cost1) — cost0/cost1 huberized,
     cost0_raw the raw 0.5·Σr² the reference prints before optimizing.
@@ -268,6 +389,14 @@ def gn_solve_core(
     red_pj = make_sorted_reducer(pair_j, M)
     V, k = nbr_idx.shape
     N = V * k
+    if use_ell:
+        # block-ELL slot mapping: depends only on the (fixed-per-round)
+        # sparsity, shared by all GN steps and CG iterations
+        reduce_ell, ell_nbr, self_ids, self_present, _ = make_block_ell(
+            nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
+            ELL_DEGREE_CAP,
+        )
+        DC = ELL_DEGREE_CAP
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
@@ -317,18 +446,59 @@ def gn_solve_core(
         # block of JᵀWJ (data + both reg slots), inverted once per GN
         # round. Far stronger than the scalar diagonal — CG needs ~half
         # the iterations for the same residual.
-        def outer64(J8, w_row):
-            # (8,N),(N,) → (64,N): rows (a·8+b) = J[a]·J[b]·w
-            return jnp.concatenate(
-                [J8[a : a + 1] * J8 * w_row[None, :] for a in range(8)],
-                axis=0,
-            )
+        if use_ell:
+            # Assemble the FULL block-sparse normal matrix once per GN
+            # step: contribution rows (64, T) in the make_block_ell
+            # enumeration order (chunk-major: one (ka, kb) data chunk of
+            # V rows at a time, then the 4·P reg combos), summed into
+            # ELL slots. Chunked channel-major construction — a
+            # (V, k, k, 8, 8) layout would pay a 75 MB 5-D transpose.
+            # The diagonal blocks fall out as the (m, m) slots.
+            Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)  # (k, 8, V)
+            JdT = J_d.transpose(1, 2, 0)                        # (k, 8, V)
+            data_chunks = [
+                (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
+                for ka in range(k)
+                for kb in range(k)
+            ]
 
-        blk = psum(red_nbr(outer64(Jd8, rep(w_d))))  # (64, M)
-        for c in range(3):
-            blk = blk + red_pi(
-                outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
-            ) + red_pj(outer64(Jj24[c * 8 : (c + 1) * 8], w_r3[c]))
+            def reg_outer(Jx24, Jy24):
+                return sum(
+                    (
+                        (w_r3[c] * Jx24[c * 8 : (c + 1) * 8])[:, None, :]
+                        * Jy24[c * 8 : (c + 1) * 8][None, :, :]
+                    )
+                    for c in range(3)
+                ).reshape(64, -1)
+
+            contrib = jnp.concatenate(
+                data_chunks
+                + [
+                    reg_outer(Ji24, Ji24),
+                    reg_outer(Ji24, Jj24),
+                    reg_outer(Jj24, Ji24),
+                    reg_outer(Jj24, Jj24),
+                ],
+                axis=1,
+            )
+            blocks64 = reduce_ell(contrib)                  # (64, M·DC)
+            Bl = blocks64.T.reshape(M, DC, 8, 8)
+            blk = jnp.take(blocks64, self_ids, axis=1) * (
+                self_present.astype(jnp.float32)[None, :]
+            )
+        else:
+            def outer64(J8, w_row):
+                # (8,N),(N,) → (64,N): rows (a·8+b) = J[a]·J[b]·w
+                return jnp.concatenate(
+                    [J8[a : a + 1] * J8 * w_row[None, :] for a in range(8)],
+                    axis=0,
+                )
+
+            blk = psum(red_nbr(outer64(Jd8, rep(w_d))))  # (64, M)
+            for c in range(3):
+                blk = blk + red_pi(
+                    outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
+                ) + red_pj(outer64(Jj24[c * 8 : (c + 1) * 8], w_r3[c]))
         diag = blk.reshape(8, 8, M)[
             jnp.arange(8), jnp.arange(8), :
         ]  # (8, M) true diagonal (for damping scale)
@@ -348,27 +518,37 @@ def gn_solve_core(
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-            def matvec(p8):  # (8, M) → (8, M)
-                pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
-                prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
-                Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
-                back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
+            if use_ell:
+                def matvec(p8):  # (8, M) → (8, M): one gather + one
+                    # batched block contraction over the assembled ELL
+                    pg = jnp.take(p8, ell_nbr, axis=1).reshape(8, M, DC)
+                    out = jnp.einsum(
+                        "mdab,bmd->am", Bl, pg,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    return out + lam * p8
+            else:
+                def matvec(p8):  # (8, M) → (8, M)
+                    pg = jnp.take(p8, nbr_flat0, axis=1)          # (8, N)
+                    prod = jnp.sum(Jd8 * pg, axis=0)              # (N,)
+                    Jp_d = jnp.sum(prod.reshape(V, k), axis=1)    # (V,)
+                    back_d = psum(red_nbr(Jd8 * rep(w_d * Jp_d)[None, :]))
 
-                pgi = take_pi(p8)                             # (8, P)
-                pgj = jnp.take(p8, pair_j, axis=1)
-                Jp_r3 = jnp.stack(
-                    [
-                        jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
-                        + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
-                        for c in range(3)
-                    ],
-                    axis=0,
-                )  # (3, P)
-                s3 = w_r3 * Jp_r3
-                back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(
-                    reg_fold(Jj24, s3)
-                )
-                return back_d + back_r + lam * p8
+                    pgi = take_pi(p8)                             # (8, P)
+                    pgj = jnp.take(p8, pair_j, axis=1)
+                    Jp_r3 = jnp.stack(
+                        [
+                            jnp.sum(Ji24[c * 8 : (c + 1) * 8] * pgi, axis=0)
+                            + jnp.sum(Jj24[c * 8 : (c + 1) * 8] * pgj, axis=0)
+                            for c in range(3)
+                        ],
+                        axis=0,
+                    )  # (3, P)
+                    s3 = w_r3 * Jp_r3
+                    back_r = red_pi(reg_fold(Ji24, s3)) + red_pj(
+                        reg_fold(Jj24, s3)
+                    )
+                    return back_d + back_r + lam * p8
 
             # Jacobi-PCG in (8, M) layout; stops at cg_iters or once
             # ‖r‖ ≤ cg_rtol·‖rhs‖ (everything in the state is replicated
@@ -464,6 +644,7 @@ def gn_solve_core(
     jax.jit,
     static_argnames=(
         "gn_iters", "cg_iters", "damping", "ftol", "cg_rtol", "dense_pairs",
+        "use_ell",
     ),
 )
 def solve_nonrigid(
@@ -486,6 +667,7 @@ def solve_nonrigid(
     ftol: float = 1e-5,  # the reference's scipy ftol (core/fusion.py:391)
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
+    use_ell: bool = True,
 ):
     """Single-chip non-rigid GN solve.
 
@@ -497,7 +679,7 @@ def solve_nonrigid(
     return gn_solve_core(
         node_dq, data_args, reg_args, lw_dq,
         gn_iters, cg_iters, damping, ftol, lambda x: x,
-        cg_rtol=cg_rtol, dense_pairs=dense_pairs,
+        cg_rtol=cg_rtol, dense_pairs=dense_pairs, use_ell=use_ell,
     )
 
 

@@ -142,3 +142,139 @@ def test_nonrigid_inactive_nodes_untouched(rng):
     # pool slots beyond num_active receive no residuals → unchanged
     np.testing.assert_allclose(
         np.asarray(x)[n_active:], np.asarray(wf.node_dq)[n_active:])
+
+
+def test_ell_matvec_matches_row_path(rng):
+    """use_ell=True (block-ELL assembled normal matrix) must reproduce the
+    row-layout matvec solve: same energies, same warp field (up to CG
+    summation-order fp noise)."""
+    verts, normals, wf, nbr, wts = _build_nonrigid_problem(rng)
+    M = rot_z(0.12)
+    corrs = (verts @ M.T + np.array([0.03, -0.02, 0.05])).astype(np.float32)
+    lw = jnp.array([1.0, 0, 0, 0, 0, 0, 0, 0])
+    pair_i, pair_j, pair_scale, pair_mask = make_reg_pairs(
+        wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active,
+        jnp.float32(0.1))
+    pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
+    args = (wf.node_dq, jnp.array(verts), jnp.array(normals),
+            jnp.array(corrs), jnp.ones(len(verts), bool), jnp.array(nbr),
+            jnp.array(wts), pair_i, pair_j, pair_v, pair_scale, pair_mask,
+            lw)
+    x_e, _, c0_e, c1_e = solve_nonrigid(*args, gn_iters=6, cg_iters=24,
+                                        use_ell=True)
+    x_r, _, c0_r, c1_r = solve_nonrigid(*args, gn_iters=6, cg_iters=24,
+                                        use_ell=False)
+    assert abs(float(c0_e) - float(c0_r)) < 1e-5
+    # both drive the energy to ~0; compare on the initial-cost scale
+    # (at ~1e-7 absolute the two CG summation orders differ in noise)
+    np.testing.assert_allclose(float(c1_e), float(c1_r),
+                               atol=1e-4 * float(c0_e))
+    # raw node DQs (and even warped positions) are gauge-underdetermined:
+    # point-to-plane leaves tangential sliding free, so different CG
+    # summation orders reach different equivalent minima. The invariant
+    # is the point-to-plane distance to the targets — both paths must
+    # drive it to ~0. (Operator exactness is asserted block-by-block in
+    # test_ell_assembly_matches_dense_normal_matrix.)
+    import oracles
+    tgt_normals = normals @ M.T
+
+    def plane_err(xdq):
+        xv = np.asarray(xdq)[nbr]                      # (V, k, 8)
+        se3 = (wts[:, :, None] * xv).sum(1)
+        se3 /= np.linalg.norm(se3, axis=1, keepdims=True) + 1e-30
+        errs = [abs(np.dot(tgt_normals[i],
+                           oracles.dq_point(se3[i], verts[i]) - corrs[i]))
+                for i in range(0, len(verts), 7)]
+        return max(errs)
+
+    # same convergence threshold as test_nonrigid_recovers_smooth_motion
+    # (gn6/cg24 with reg 0.1 settles near 5e-3), and the two paths must
+    # land at the same level
+    pe_e, pe_r = plane_err(x_e), plane_err(x_r)
+    assert pe_e < 0.01, pe_e
+    assert pe_r < 0.01, pe_r
+    assert abs(pe_e - pe_r) < 5e-3, (pe_e, pe_r)
+
+
+def test_ell_degree_cap_covers_knn_graphs(rng):
+    """The coupling degree of a kNN-induced sparsity stays far below
+    ELL_DEGREE_CAP (measured 12 max at the 256^3 bench graph); overflow
+    is counted, not silent."""
+    from dynamicfusion_body_tpu.solvers.nonrigid import (
+        ELL_DEGREE_CAP, make_block_ell,
+    )
+
+    verts, normals, wf, nbr, wts = _build_nonrigid_problem(
+        rng, n_verts=400, capacity=64)
+    Mcap = wf.capacity
+    pair_i, pair_j, pair_scale, pair_mask = make_reg_pairs(
+        wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active,
+        jnp.float32(0.1))
+    _, _, _, _, n_over = make_block_ell(
+        jnp.array(nbr), jnp.ones(len(verts), bool), pair_i, pair_j,
+        pair_mask, Mcap, ELL_DEGREE_CAP)
+    assert int(n_over) == 0
+    # a deliberately tiny cap overflows LOUDLY (counted)
+    _, _, _, _, n_over2 = make_block_ell(
+        jnp.array(nbr), jnp.ones(len(verts), bool), pair_i, pair_j,
+        pair_mask, Mcap, 2)
+    assert int(n_over2) > 0
+
+
+def test_ell_assembly_matches_dense_normal_matrix(rng):
+    """The assembled block-ELL operator equals the dense JtWJ it encodes:
+    multiply both against random vectors (tiny problem, brute-force
+    oracle)."""
+    from dynamicfusion_body_tpu.solvers.nonrigid import (
+        make_block_ell,
+    )
+
+    V, Mn, k = 40, 8, 2
+    nbr = rng.randint(0, Mn, size=(V, k)).astype(np.int32)
+    J = rng.randn(V, k, 8).astype(np.float32)
+    w = rng.rand(V).astype(np.float32)
+    cmask = rng.rand(V) > 0.2
+    # no reg rows: empty pair lists exercise the static shapes
+    pair_i = jnp.zeros((0,), jnp.int32)
+    pair_j = jnp.zeros((0,), jnp.int32)
+    pair_mask = jnp.zeros((0,), bool)
+    D = 16
+    reduce_ell, ell_nbr, self_ids, self_present, n_over = make_block_ell(
+        jnp.array(nbr), jnp.array(cmask), pair_i, pair_j, pair_mask, Mn, D)
+    assert int(n_over) == 0
+
+    # dense oracle H (8M x 8M)
+    H = np.zeros((Mn, 8, Mn, 8), np.float64)
+    for v in range(V):
+        if not cmask[v]:
+            continue
+        for a in range(k):
+            for b in range(k):
+                H[nbr[v, a], :, nbr[v, b], :] += w[v] * np.outer(
+                    J[v, a], J[v, b])
+
+    # chunk-major contribution order (one (ka, kb) chunk of V rows at a
+    # time) — must match make_block_ell's enumeration
+    Jw = (jnp.array(J) * jnp.array(w)[:, None, None]).transpose(1, 2, 0)
+    JdT = jnp.array(J).transpose(1, 2, 0)
+    contrib = jnp.concatenate(
+        [(Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
+         for ka in range(k) for kb in range(k)], axis=1)
+    blocks64 = reduce_ell(contrib)
+    Bl = np.asarray(blocks64).T.reshape(Mn, D, 8, 8)
+    nbr_ell = np.asarray(ell_nbr).reshape(Mn, D)
+
+    p = rng.randn(8, Mn).astype(np.float32)
+    out = np.zeros((8, Mn))
+    for m in range(Mn):
+        for d in range(D):
+            out[:, m] += Bl[m, d] @ p[:, nbr_ell[m, d]]
+    ref = np.einsum("manb,bn->am", H, p)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    # diagonal extraction: self slots hold H[m, :, m, :]
+    diag = np.asarray(blocks64)[:, np.asarray(self_ids)] * np.asarray(
+        self_present)[None, :]
+    for m in range(Mn):
+        np.testing.assert_allclose(
+            diag[:, m].reshape(8, 8), H[m, :, m, :], rtol=2e-4, atol=2e-4)
