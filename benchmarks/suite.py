@@ -372,10 +372,27 @@ def config7():
     K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
     angles = [0.08, 0.16, 0.24]
 
+    # KNOWN LIMITATION at 256³ (measured round 3, unresolved): the body's
+    # step-1 live mesh exceeds the 2^17 vert cap (a plain 256³ sphere
+    # already extracts 152k verts), and Fusion shares ONE cap between the
+    # canonical and live meshes — the overflow truncates the live surface
+    # (fusion.py warns loudly), partial correspondences mistrack, and the
+    # reported error (≈58 voxels) reflects that cap, not the solver
+    # (64³, where the caps fit, tracks at 1.4 voxels). Raising the caps
+    # to 2^18/2^19 reproducibly crashed the axon TPU worker partway
+    # through the 256³ section (UNAVAILABLE: worker crashed; three
+    # attempts) — likely peak-HBM pressure from the cap-scaled tables on
+    # top of two 256³ volume pairs. Fix for round 4: split
+    # live_vert_cap from vert_cap in Fusion (fusion_frame already has
+    # the split) so the solver tables stay at 2^15-2^17 while the live
+    # mesh gets 2^18.
+    only = int(os.environ.get("CONFIG7_RES", "0"))  # 0 = both
     for res, caps, node_cap in (
         (64, (1 << 15, 1 << 16), 1024),
         (256, (1 << 17, 1 << 18), 4096),
     ):
+        if only and res != only:
+            continue
         tdist = 8.0 / res * 1.3
         dm = FusionDM(tdist, K, tsdf_res=res, vert_cap=caps[0],
                       face_cap=caps[1])
