@@ -372,24 +372,20 @@ def config7():
     K = np.array([[400.0, 0, 256], [0, 400, 256], [0, 0, 1]], np.float32)
     angles = [0.08, 0.16, 0.24]
 
-    # KNOWN LIMITATION at 256³ (measured round 3, unresolved): the body's
-    # step-1 live mesh exceeds the 2^17 vert cap (a plain 256³ sphere
-    # already extracts 152k verts), and Fusion shares ONE cap between the
-    # canonical and live meshes — the overflow truncates the live surface
-    # (fusion.py warns loudly), partial correspondences mistrack, and the
-    # reported error (≈58 voxels) reflects that cap, not the solver
-    # (64³, where the caps fit, tracks at 1.4 voxels). Raising the caps
-    # to 2^18/2^19 reproducibly crashed the axon TPU worker partway
-    # through the 256³ section (UNAVAILABLE: worker crashed; three
-    # attempts) — likely peak-HBM pressure from the cap-scaled tables on
-    # top of two 256³ volume pairs. Fix for round 4: split
-    # live_vert_cap from vert_cap in Fusion (fusion_frame already has
-    # the split) so the solver tables stay at 2^15-2^17 while the live
-    # mesh gets 2^18.
+    # Cap sizing (measured round 3): the body's step-1 live mesh at 256³
+    # exceeds 2^17 verts (a plain 256³ sphere already extracts 152k) — a
+    # truncated live surface feeds partial correspondences and the
+    # tracker diverges (measured 58 voxels surface error vs 5.8 if left
+    # untracked). Raising Fusion's single shared cap to 2^18 reproducibly
+    # crashed the axon TPU worker (cap-scaled solver tables — e.g. the
+    # 2^18×4096 neighbor-distance matrix — on top of two 256³ volume
+    # pairs); the fix is the live/canonical cap split (Fusion
+    # live_vert_cap, mirroring fusion_frame's) so only the
+    # correspondence-side arrays grow.
     only = int(os.environ.get("CONFIG7_RES", "0"))  # 0 = both
-    for res, caps, node_cap in (
-        (64, (1 << 15, 1 << 16), 1024),
-        (256, (1 << 17, 1 << 18), 4096),
+    for res, caps, live_caps, node_cap in (
+        (64, (1 << 15, 1 << 16), (1 << 15, 1 << 16), 1024),
+        (256, (1 << 17, 1 << 18), (1 << 18, 1 << 19), 4096),
     ):
         if only and res != only:
             continue
@@ -404,10 +400,20 @@ def config7():
         voxel = float(ind[0, 0])
         ind_inv = np.linalg.inv(ind)
 
+        # World-space knobs must not shrink with the lattice: the node
+        # radius is subsample_rate × mean mesh-edge length
+        # (reference core/fusion.py:89-92) and edges are res/64× shorter
+        # at higher res — scale subsample_rate and the canonical MC step
+        # so node density and solver size stay a property of the BODY,
+        # not the lattice (at 2.0/step-2 the 256³ run wanted ~90k nodes
+        # and saturated every pool).
+        mc_step = 2 if res <= 64 else 3
+        ssr = 2.0 * (res / 64) / (mc_step / 2)
         fus = Fusion(
-            canon_v, tdist, subsample_rate=2.0, knn=3,
-            marching_cubes_step_size=2, write_warpfield=False,
+            canon_v, tdist, subsample_rate=ssr, knn=3,
+            marching_cubes_step_size=mc_step, write_warpfield=False,
             vert_cap=caps[0], face_cap=caps[1], node_cap=node_cap,
+            live_vert_cap=live_caps[0], live_face_cap=live_caps[1],
         )
         # canonical surface sample (grid coords) + world positions
         m = fus._mesh
@@ -446,7 +452,12 @@ def config7():
             live_v, _ = dm._fuse_all(
                 fresh.values, fresh.weights, depths, lws
             )
-            fus.setupCorrespondences(live_v, method="clpts", tolerance=5.0)
+            # live_mc_step 2 at 256³: the body's step-1 live mesh
+            # (>2^18 verts) exceeds any practical pool; step 2 halves the
+            # live sampling density (still 2× the canonical step) and is
+            # the documented knob for bounding the live pool
+            fus.setupCorrespondences(live_v, method="clpts", tolerance=5.0,
+                                     live_mc_step=1 if res <= 64 else 2)
             fus.solve(regularization_weight=0.5, method="clpts")
             fus.updateTSDF()
             fus.update_graph()

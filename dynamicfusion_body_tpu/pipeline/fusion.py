@@ -380,6 +380,8 @@ class Fusion:
         cnn_image_size=512,
         cnn_weights=None,
         cnn_normalize_input=None,
+        live_vert_cap=None,
+        live_face_cap=None,
     ):
         tsdf = np.asarray(tsdf)
         if tsdf.ndim != 3:
@@ -397,6 +399,12 @@ class Fusion:
         self._warpfield_path = warpfield_path or os.getcwd()
         self._vert_cap = vert_cap
         self._face_cap = face_cap
+        # the live (step-1) mesh is denser than the canonical (step-2+)
+        # mesh and feeds only the correspondence search — give it its own
+        # cap so solver tables (sized by vert_cap) stay snug
+        # (fusion_frame has the same split, pipeline/frame.py)
+        self._live_vert_cap = live_vert_cap or vert_cap
+        self._live_face_cap = live_face_cap or face_cap
         self._node_cap = node_cap
         self._use_cnn = use_cnn
         self._cnn = None
@@ -478,16 +486,20 @@ class Fusion:
     def marching_cubes(self, tsdf=None, step_size=0):
         if step_size < 1:
             step_size = self._marching_cubes_step_size
+        # live/external volumes get the live caps; the canonical mesh
+        # (tsdf=None) keeps the solver-sized caps
+        vcap = self._vert_cap if tsdf is None else self._live_vert_cap
+        fcap = self._face_cap if tsdf is None else self._live_face_cap
         target = self.volume.values if tsdf is None else jnp.asarray(tsdf)
         out = marching_cubes(
             target,
             level=0.0,
-            vert_cap=self._vert_cap,
-            face_cap=self._face_cap,
+            vert_cap=vcap,
+            face_cap=fcap,
             step_size=step_size,
             use_pallas=_mc_pallas(),
         )
-        _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
+        _warn_mesh_overflow(out, vcap, fcap)
         if tsdf is None:
             self._mesh = out
             if self._verbose:
@@ -528,7 +540,7 @@ class Fusion:
         live = self.marching_cubes(self._curr_tsdf, step_size=live_mc_step)
         m = self._mesh
         vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
-        lmask = jnp.arange(self._vert_cap) < int(live["n_verts"])
+        lmask = jnp.arange(self._live_vert_cap) < int(live["n_verts"])
         wv, wn = self._warped_mesh(m_lw=self._lw)
 
         if self._cnn is None or method == "clpts":
