@@ -149,7 +149,7 @@ def solve_nonrigid_sharded(
                 P(), P(), P(), P(), P(),  # reg pair arrays (replicated)
                 P(),            # lw_dq
             ),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
     )

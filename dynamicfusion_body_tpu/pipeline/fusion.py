@@ -21,6 +21,7 @@ recompiles.
 from __future__ import annotations
 
 import os
+import warnings
 from functools import partial
 
 import jax
@@ -36,7 +37,12 @@ from ..ops import (
     estimate_alignment,
 )
 from ..ops.marching_cubes import marching_cubes
-from ..solvers.nonrigid import make_reg_pairs, relaxation_step, solve_nonrigid
+from ..solvers.nonrigid import (
+    ELL_DEGREE_CAP as _ELL_DEGREE_CAP,
+    make_reg_pairs,
+    relaxation_step,
+    solve_nonrigid,
+)
 from ..solvers.rigid import solve_rigid
 from ..io.mesh_io import save_obj
 from ..io.warpfield_io import save_warp_field
@@ -632,10 +638,20 @@ class Fusion:
                 self._corr_valid, self._nbr_idx, self._blend_wts,
             )
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
-            new_dq, cost_before, _, cost_after = solve_nonrigid(
+            new_dq, cost_before, _, cost_after, _, ell_over = solve_nonrigid(
                 self._warp.node_dq, *data_args, *reg_args, self._lw,
                 gn_iters=8, cg_iters=32, dense_pairs=True,
             )
+            if int(ell_over) > 0:
+                warnings.warn(
+                    "solve: %d JtWJ contributions exceeded the block-ELL "
+                    "degree cap (ELL_DEGREE_CAP=%d) and were dropped — the "
+                    "CG operator is under-assembled and convergence may "
+                    "stall; raise solvers.nonrigid.ELL_DEGREE_CAP for this "
+                    "graph density" % (int(ell_over),
+                                       _ELL_DEGREE_CAP),
+                    RuntimeWarning, stacklevel=2,
+                )
             cost_before = float(cost_before)
             # Log-ordering note: the reference prints this BEFORE running
             # the optimizer (core/fusion.py:378); here cost_before is a

@@ -328,6 +328,9 @@ def gn_solve_core(
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
     use_ell: bool = True,
+    freeze_frac: float = 0.25,
+    flat_factor: float = 100.0,
+    damping_init=None,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
@@ -344,17 +347,48 @@ def gn_solve_core(
     pair_i == repeat(arange(M), k) (what make_reg_pairs always builds), so
     pair-term gathers/reductions become reshapes.
 
-    ``use_ell``: assemble JᵀWJ once per GN step into an (M, D, 8, 8)
-    block-ELL table (see make_block_ell) so each CG matvec is one gather
-    + one block einsum instead of ~10 gather/segment ops over the
-    (8, V·k) rows — 1.8 → ~0.2 ms per iteration at bench scale. Single
-    chip only: the slot mapping is built from the LOCAL vertex shard, so
-    assembled blocks cannot be psum'd across devices — the sharded
-    solver passes use_ell=False and keeps the row matvec (whose
-    reductions the psum hook covers).
+    ``use_ell``: assemble JᵀWJ into an (M, D, 8, 8) block-ELL table (see
+    make_block_ell) so each CG matvec is one gather + one block einsum
+    instead of ~10 gather/segment ops over the (8, V·k) rows — 1.8 →
+    ~0.2 ms per iteration at bench scale. Single chip only: the slot
+    mapping is built from the LOCAL vertex shard, so assembled blocks
+    cannot be psum'd across devices — the sharded solver passes
+    use_ell=False and keeps the row matvec (whose reductions the psum
+    hook covers).
 
-    Returns (node_dq, cost0_raw, cost0, cost1) — cost0/cost1 huberized,
-    cost0_raw the raw 0.5·Σr² the reference prints before optimizing.
+    ``freeze_frac`` (ELL path only): the assembly reduce is the single
+    most expensive per-GN-step operation (7.5 of ~12.7 ms at bench scale,
+    docs/tpu_kernel_notes.md) while the GN matrix changes slowly near
+    convergence — so the assembled blocks are FROZEN across GN steps and
+    rebuilt only once the energy has dropped by more than ``freeze_frac``
+    (relative) since the last assembly. Frozen steps still compute fresh
+    residuals, Jacobians, and the exact gradient (all cheap), so the step
+    is a chord/quasi-Newton step on the exact rhs; every step remains
+    accepted/rejected on EXACT residual energies, and a step that makes
+    no progress on stale blocks forces a rebuild-and-retry instead of
+    terminating the round (stale curvature can never end a round early).
+    ``freeze_frac=0`` rebuilds every step (round-3 behavior).
+
+    ``flat_factor``: a rejected LM try whose energy is within
+    ``flat_factor·ftol`` (relative) of the current energy is treated as
+    converged-flat and ends the retry loop (see module docstring).
+    100·ftol is the measured bench optimum; expose it so accuracy gates
+    can sweep it (ADVICE r3).
+
+    ``damping_init``: optional traced initial LM damping (warm start from
+    the previous solve round's final damping — the reference's relaxation
+    rounds re-solve the same basin, so re-deriving the trust region from
+    1e-4 each round wastes retries). Defaults to ``damping``. The
+    ``damping`` constant stays the floor an accepted step relaxes toward.
+
+    Returns (node_dq, cost0_raw, cost0, cost1, dmp_out, ell_overflow) —
+    cost0/cost1 huberized, cost0_raw the raw 0.5·Σr² the reference prints
+    before optimizing, dmp_out the final LM damping (feed to the next
+    round's damping_init), ell_overflow the number of JᵀWJ contributions
+    dropped by the ELL degree cap (0 when use_ell=False). Nonzero
+    overflow under-assembles the CG operator — results stay correct
+    (exact-energy acceptance) but convergence may stall; drivers should
+    warn (ADVICE r3).
     """
     verts, normals, corrs, corr_mask, nbr_idx, blend_wts = data_args
     pair_i, pair_j, pair_v, pair_scale, pair_mask = reg_args
@@ -389,20 +423,22 @@ def gn_solve_core(
     red_pj = make_sorted_reducer(pair_j, M)
     V, k = nbr_idx.shape
     N = V * k
+    ell_overflow = jnp.int32(0)
     if use_ell:
         # block-ELL slot mapping: depends only on the (fixed-per-round)
         # sparsity, shared by all GN steps and CG iterations
-        reduce_ell, ell_nbr, self_ids, self_present, _ = make_block_ell(
+        reduce_ell, ell_nbr, self_ids, self_present, n_over = make_block_ell(
             nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
             ELL_DEGREE_CAP,
         )
         DC = ELL_DEGREE_CAP
+        ell_overflow = psum(n_over).astype(jnp.int32)
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
     # multiply HBM traffic ~40x across the CG iterations.
     def run_step(args):
-        x, e, dmp = args
+        x, e, dmp, Bl_c, blk_c, e_asm = args
         dqs_v = jnp.take(x, nbr_idx, axis=0)
         r_d, J_d = jax.vmap(one_data, in_axes=(0, 0, 0, 0, 0, None))(
             dqs_v, verts, normals, corrs, blend_wts, lw_dq
@@ -447,45 +483,63 @@ def gn_solve_core(
         # round. Far stronger than the scalar diagonal — CG needs ~half
         # the iterations for the same residual.
         if use_ell:
-            # Assemble the FULL block-sparse normal matrix once per GN
-            # step: contribution rows (64, T) in the make_block_ell
-            # enumeration order (chunk-major: one (ka, kb) data chunk of
-            # V rows at a time, then the 4·P reg combos), summed into
-            # ELL slots. Chunked channel-major construction — a
-            # (V, k, k, 8, 8) layout would pay a 75 MB 5-D transpose.
-            # The diagonal blocks fall out as the (m, m) slots.
-            Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)  # (k, 8, V)
-            JdT = J_d.transpose(1, 2, 0)                        # (k, 8, V)
-            data_chunks = [
-                (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
-                for ka in range(k)
-                for kb in range(k)
-            ]
+            # Assemble the FULL block-sparse normal matrix: contribution
+            # rows (64, T) in the make_block_ell enumeration order
+            # (chunk-major: one (ka, kb) data chunk of V rows at a time,
+            # then the 4·P reg combos), summed into ELL slots. Chunked
+            # channel-major construction — a (V, k, k, 8, 8) layout would
+            # pay a 75 MB 5-D transpose. The diagonal blocks fall out as
+            # the (m, m) slots. Under freeze_frac > 0 this runs only when
+            # the energy has dropped freeze_frac since the last assembly
+            # (see the docstring) — the carried stale blocks are reused
+            # otherwise.
+            def assemble(_):
+                Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)  # (k,8,V)
+                JdT = J_d.transpose(1, 2, 0)                        # (k,8,V)
+                data_chunks = [
+                    (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
+                    for ka in range(k)
+                    for kb in range(k)
+                ]
 
-            def reg_outer(Jx24, Jy24):
-                return sum(
-                    (
-                        (w_r3[c] * Jx24[c * 8 : (c + 1) * 8])[:, None, :]
-                        * Jy24[c * 8 : (c + 1) * 8][None, :, :]
-                    )
-                    for c in range(3)
-                ).reshape(64, -1)
+                def reg_outer(Jx24, Jy24):
+                    return sum(
+                        (
+                            (w_r3[c] * Jx24[c * 8 : (c + 1) * 8])[:, None, :]
+                            * Jy24[c * 8 : (c + 1) * 8][None, :, :]
+                        )
+                        for c in range(3)
+                    ).reshape(64, -1)
 
-            contrib = jnp.concatenate(
-                data_chunks
-                + [
-                    reg_outer(Ji24, Ji24),
-                    reg_outer(Ji24, Jj24),
-                    reg_outer(Jj24, Ji24),
-                    reg_outer(Jj24, Jj24),
-                ],
-                axis=1,
-            )
-            blocks64 = reduce_ell(contrib)                  # (64, M·DC)
-            Bl = blocks64.T.reshape(M, DC, 8, 8)
-            blk = jnp.take(blocks64, self_ids, axis=1) * (
-                self_present.astype(jnp.float32)[None, :]
-            )
+                contrib = jnp.concatenate(
+                    data_chunks
+                    + [
+                        reg_outer(Ji24, Ji24),
+                        reg_outer(Ji24, Jj24),
+                        reg_outer(Jj24, Ji24),
+                        reg_outer(Jj24, Jj24),
+                    ],
+                    axis=1,
+                )
+                blocks64 = reduce_ell(contrib)                  # (64, M·DC)
+                Bl_n = blocks64.T.reshape(M, DC, 8, 8)
+                blk_n = jnp.take(blocks64, self_ids, axis=1) * (
+                    self_present.astype(jnp.float32)[None, :]
+                )
+                return Bl_n, blk_n
+
+            if freeze_frac > 0.0:
+                fresh = e < (1.0 - freeze_frac) * e_asm
+                Bl, blk, e_asm = jax.lax.cond(
+                    fresh,
+                    lambda _: assemble(None) + (e,),
+                    lambda _: (Bl_c, blk_c, e_asm),
+                    None,
+                )
+            else:
+                Bl, blk = assemble(None)
+                e_asm = e
+                fresh = jnp.bool_(True)
         else:
             def outer64(J8, w_row):
                 # (8,N),(N,) → (64,N): rows (a·8+b) = J[a]·J[b]·w
@@ -499,6 +553,9 @@ def gn_solve_core(
                 blk = blk + red_pi(
                     outer64(Ji24[c * 8 : (c + 1) * 8], w_r3[c])
                 ) + red_pj(outer64(Jj24[c * 8 : (c + 1) * 8], w_r3[c]))
+            Bl = Bl_c  # dummy carry (row matvec rebuilds from Jd8 fresh)
+            e_asm = e
+            fresh = jnp.bool_(True)
         diag = blk.reshape(8, 8, M)[
             jnp.arange(8), jnp.arange(8), :
         ]  # (8, M) true diagonal (for damping scale)
@@ -610,7 +667,7 @@ def gn_solve_core(
 
         def lm_cond(st):
             _, _, _, accepted, e_last, tries = st
-            flat = (e_last - e) <= (100.0 * ftol) * e
+            flat = (e_last - e) <= (flat_factor * ftol) * e
             return (~accepted) & (~flat) & (tries < MAX_LM_RETRIES)
 
         st = (dmp, x, e, jnp.bool_(False), jnp.float32(jnp.inf),
@@ -618,33 +675,57 @@ def gn_solve_core(
         dmp_out, x_b, e_b, _, _, _ = jax.lax.while_loop(
             lm_cond, lm_body, st
         )
-        return x_b, e_b, dmp_out
+        return x_b, e_b, dmp_out, Bl, blk, e_asm, fresh
 
     def gn_step(carry, _):
-        x, e, act, dmp = carry
-        x2, e2, dmp2 = jax.lax.cond(
-            act, run_step, lambda a: a, (x, e, dmp)
+        x, e, act, dmp, Bl_c, blk_c, e_asm = carry
+        x2, e2, dmp2, Bl2, blk2, e_asm2, fresh = jax.lax.cond(
+            act,
+            run_step,
+            lambda a: (a[0], a[1], a[2], a[3], a[4], a[5],
+                       jnp.bool_(True)),
+            (x, e, dmp, Bl_c, blk_c, e_asm),
         )
         # scipy-style ftol termination: stop (skip remaining iterations)
         # once the relative cost reduction falls below ftol — a step all
         # of whose LM retries were rejected (e2 == e) terminates too.
-        act = act & ((e - e2) > ftol * e)
-        return (x2, e2, act, dmp2), None
+        # EXCEPT when the failed step ran on frozen (stale) normal
+        # blocks: stale curvature is not evidence of convergence, so
+        # force a rebuild (e_asm := ∞) and keep the round active for one
+        # fresh-block attempt; the damping blown up by the stale retries
+        # is reset too.
+        reduced = (e - e2) > ftol * e
+        stale_fail = act & ~reduced & ~fresh
+        act = act & (reduced | stale_fail)
+        e_asm2 = jnp.where(stale_fail, jnp.float32(jnp.inf), e_asm2)
+        dmp2 = jnp.where(stale_fail, dmp, dmp2)
+        return (x2, e2, act, dmp2, Bl2, blk2, e_asm2), None
 
-    (x, cost1, _, _), _ = jax.lax.scan(
+    if use_ell:
+        Bl0 = jnp.zeros((M, DC, 8, 8), jnp.float32)
+    else:
+        Bl0 = jnp.zeros((1,), jnp.float32)
+    blk0 = jnp.zeros((64, M), jnp.float32)
+    dmp0 = (
+        jnp.asarray(damping, jnp.float32)
+        if damping_init is None
+        else jnp.asarray(damping_init, jnp.float32)
+    )
+    (x, cost1, _, dmp_out, _, _, _), _ = jax.lax.scan(
         gn_step,
-        (node_dq, cost0, jnp.bool_(True), jnp.asarray(damping, jnp.float32)),
+        (node_dq, cost0, jnp.bool_(True), dmp0, Bl0, blk0,
+         jnp.float32(jnp.inf)),
         None,
         length=gn_iters,
     )
-    return x, cost0_raw, cost0, cost1
+    return x, cost0_raw, cost0, cost1, dmp_out, ell_overflow
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "gn_iters", "cg_iters", "damping", "ftol", "cg_rtol", "dense_pairs",
-        "use_ell",
+        "use_ell", "freeze_frac", "flat_factor",
     ),
 )
 def solve_nonrigid(
@@ -668,11 +749,16 @@ def solve_nonrigid(
     cg_rtol: float = 0.0,
     dense_pairs: bool = False,
     use_ell: bool = True,
+    freeze_frac: float = 0.25,
+    flat_factor: float = 100.0,
+    damping_init=None,
 ):
     """Single-chip non-rigid GN solve.
 
-    Returns (node_dq, cost0_raw, cost0, cost1): the raw and huberized
-    initial costs and the final huberized cost.
+    Returns (node_dq, cost0_raw, cost0, cost1, dmp_out, ell_overflow):
+    the raw and huberized initial costs, the final huberized cost, the
+    final LM damping (for warm-starting the next relaxation round), and
+    the block-ELL degree-cap overflow count (see gn_solve_core).
     """
     data_args = (verts, normals, corrs, corr_mask, nbr_idx, blend_wts)
     reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
@@ -680,6 +766,8 @@ def solve_nonrigid(
         node_dq, data_args, reg_args, lw_dq,
         gn_iters, cg_iters, damping, ftol, lambda x: x,
         cg_rtol=cg_rtol, dense_pairs=dense_pairs, use_ell=use_ell,
+        freeze_frac=freeze_frac, flat_factor=flat_factor,
+        damping_init=damping_init,
     )
 
 
@@ -688,9 +776,11 @@ def make_reg_pairs(node_vert_idx, nbr_idx, node_w, active, rw):
 
     Reference computef regularization (core/fusion.py:475-484): for node i,
     neighbors = neighbor_look_up[node i's anchor vertex]; scale =
-    rw·max(w_i, w_j). Returns (pair_i, pair_j, pair_v, pair_scale,
-    pair_mask) with P = M·k rows (pair_v = node j's position must be
-    gathered by the caller, see pipeline).
+    rw·max(w_i, w_j). Returns (pair_i, pair_j, pair_scale, pair_mask)
+    with P = M·k rows; pair_v (node j's position) is NOT returned — the
+    caller gathers it (``jnp.take(node_pos, pair_j, axis=0)``, see
+    pipeline/frame.py) because node positions may be fresher than this
+    table.
     """
     M, k = active.shape[0], nbr_idx.shape[1]
     nbrs = jnp.take(nbr_idx, node_vert_idx, axis=0)  # (M, k)

@@ -89,7 +89,7 @@ def test_solve_nonrigid_sharded_matches_single(rng):
     # use_ell=False: the sharded solver keeps the row matvec (the ELL
     # slot mapping is shard-local, gn_solve_core docstring), so the
     # apples-to-apples single-chip reference is the row path too
-    want_x, want_c0_raw, want_c0, want_c1 = solve_nonrigid(
+    want_x, want_c0_raw, want_c0, want_c1, _, _ = solve_nonrigid(
         wf.node_dq, jnp.array(verts), jnp.array(normals), jnp.array(corrs),
         jnp.ones(n_verts, bool), jnp.array(nbr), jnp.array(wts),
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
@@ -97,7 +97,7 @@ def test_solve_nonrigid_sharded_matches_single(rng):
 
     vs = NamedSharding(mesh, P(VOXEL_AXIS))
     solver = sharded.solve_nonrigid_sharded(mesh, gn_iters=3, cg_iters=12)
-    got_x, got_c0_raw, got_c0, got_c1 = solver(
+    got_x, got_c0_raw, got_c0, got_c1, _, _ = solver(
         wf.node_dq,
         jax.device_put(jnp.array(verts), vs),
         jax.device_put(jnp.array(normals), vs),

@@ -102,7 +102,7 @@ def test_nonrigid_recovers_smooth_motion(rng):
     reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
     c0 = float(nonrigid_energy(x0, data_args, reg_args, lw))
 
-    x, cost0_raw, cost0, cost1 = solve_nonrigid(
+    x, cost0_raw, cost0, cost1, _, _ = solve_nonrigid(
         x0, *data_args, pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
         gn_iters=12, cg_iters=48)
     assert abs(float(cost0) - c0) < 1e-5
@@ -134,7 +134,7 @@ def test_nonrigid_inactive_nodes_untouched(rng):
         wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active,
         jnp.float32(0.1))
     pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
-    x, _, _, _ = solve_nonrigid(
+    x, _, _, _, _, _ = solve_nonrigid(
         wf.node_dq, jnp.array(verts), jnp.array(normals), jnp.array(corrs),
         jnp.ones(len(verts), bool), jnp.array(nbr), jnp.array(wts),
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
@@ -160,10 +160,10 @@ def test_ell_matvec_matches_row_path(rng):
             jnp.array(corrs), jnp.ones(len(verts), bool), jnp.array(nbr),
             jnp.array(wts), pair_i, pair_j, pair_v, pair_scale, pair_mask,
             lw)
-    x_e, _, c0_e, c1_e = solve_nonrigid(*args, gn_iters=6, cg_iters=24,
-                                        use_ell=True)
-    x_r, _, c0_r, c1_r = solve_nonrigid(*args, gn_iters=6, cg_iters=24,
-                                        use_ell=False)
+    x_e, _, c0_e, c1_e, _, _ = solve_nonrigid(*args, gn_iters=6,
+                                              cg_iters=24, use_ell=True)
+    x_r, _, c0_r, c1_r, _, _ = solve_nonrigid(*args, gn_iters=6,
+                                              cg_iters=24, use_ell=False)
     assert abs(float(c0_e) - float(c0_r)) < 1e-5
     # both drive the energy to ~0; compare on the initial-cost scale
     # (at ~1e-7 absolute the two CG summation orders differ in noise)
