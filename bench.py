@@ -18,12 +18,15 @@ genuinely sequential (each consumes the previous TSDF/warp state), so the
 chain measures true per-frame device throughput:
     per_frame = (T(K frames + fetch) − T(1 frame + fetch)) / (K − 1).
 
-The run also self-checks accuracy: the relaxed throughput knobs
-(tolerance=5 voxels, cg_iters=16, hardware approx kNN) are validated
-in-run against the conservative exact path (tolerance=10, cg_iters=32,
-exact kNN) — the fused TSDF volumes must agree to a small fraction of the
-truncation band, so the headline number cannot silently come from looser
-knobs (the JSON line carries the measured deviation).
+The run also self-checks accuracy: the throughput approximations
+(hardware approx kNN, cached-candidate correspondence reuse, cg_iters=16,
+2-level brick pools) are validated in-run against the conservative exact
+path (fresh exact kNN per round, cg_iters=32, flat per-brick candidates)
+— the fused TSDF volumes must agree to a small fraction of the truncation
+band, the fast arm's final solve cost must match the exact arm's, and the
+fast arm's own conservative risk certificates must hold, so the headline
+number cannot silently come from looser knobs (the JSON line carries the
+measured deviations).
 
 Baseline (BASELINE.md): the reference prototype's best combined frame is
 ~380 s at 65³ (1/64 the voxels) on a lab CPU. vs_baseline here is the
@@ -166,63 +169,123 @@ def main():
 
     # ---- accuracy cross-check: approximation knobs vs the exact path.
     # Same start state, SAME model hyperparameters (tolerance etc.) — the
-    # exact arm (fresh exact kNN per solve round, cg_iters=32) differs
-    # only in the approximations the fast path takes (hardware approx
-    # kNN, cached-candidate reuse across rounds, 2-level brick pools),
-    # so the headline speed cannot silently come from loosened knobs.
-    # Two gates (measured round 3, tools/diag_knobs):
+    # exact arm (fresh exact kNN per solve round, cg_iters=32, flat
+    # per-brick node candidates) differs only in the approximations the
+    # fast path takes (hardware approx kNN, certificate-steered cached-
+    # candidate reuse, cg_iters=16, 2-level brick pools), so the headline
+    # speed cannot silently come from loosened knobs.
+    # Three gates (re-derived round 4, tools/diag_gate.py):
     # 1. surface agreement: p99.9 of |Δtsdf| < 0.5 voxel — sub-voxel
     #    surface position agreement (|∇tsdf| ≈ 1/voxel). Bitwise
     #    trajectory agreement is NOT a meaningful target: even exact-kNN
     #    cached vs fresh correspondences differ ~0.25 here because
     #    slightly different (equally valid) matches steer the nonconvex
-    #    GN to slightly different minima; cg_iters 16 vs 32 is measured
-    #    bit-identical (CG converges by 16).
-    # 2. tracking quality: the fast path's final huberized solve cost
-    #    must not exceed the exact arm's by >10% — the approximations
-    #    may not degrade how well the warp fits the live surface.
+    #    GN to slightly different minima.
+    # 2. tracking quality on a COMMON objective: each arm's final warp is
+    #    scored by the huberized point-plane data cost under a fresh
+    #    EXACT correspondence search at that warp. The arms' IN-FRAME
+    #    final costs are not comparable — each arm solves its own
+    #    correspondence-set objective, so a lower in-frame cost can mean
+    #    "easier stale objective", not "better warp" (round-3 weak #2:
+    #    the shipped 1.55 in-frame ratio decomposed into cached-corr
+    #    reuse 1.555→1.239 and cg16 1.24→1.0, yet on the common
+    #    objective fresh-corr+cg16 scored 0.90× the exact arm — the
+    #    in-frame gap was objective drift, not tracking quality).
+    #    Gate: common-objective ratio < 1.10, with an absolute slack of
+    #    1% of the frame's pre-solve huberized tracking energy (matched
+    #    units, ADVICE r3) capped at ratio < 2 so gross under-solving
+    #    can never pass via slack alone.
+    # 3. certificates: the fast arm's own conservative risk counters
+    #    (pool_risk: 2-level brick pools; corr_risk: residual cached-
+    #    candidate drift after certificate-steered refresh) must stay
+    #    within documented bounds — the bench fails if the
+    #    approximations it relies on stop certifying.
     exact_hyper = dict(hyper)
     exact_hyper.update(cg_iters=32, approx_knn=False, use_grid_corr=False,
-                       reuse_corr=False)
+                       reuse_corr=False, exact_candidates=True)
     values0, weights0, wf0, lw0, mesh0 = state
-
-    def final_cost(st):
-        cas = st.cost_after
-        idx = jnp.max(jnp.where(cas > 0, jnp.arange(cas.shape[0]), 0))
-        return cas[idx]
 
     out_f = fusion_frame(values0, weights0, lives[0], wf0, lw0,
                          canon_mesh=mesh0, **hyper)
     out_e = fusion_frame(values0, weights0, lives[0], wf0, lw0,
                          canon_mesh=mesh0, **exact_hyper)
-    v_fast, cost_f = out_f[0], float(final_cost(out_f[4]))
-    v_exact, cost_e = out_e[0], float(final_cost(out_e[4]))
-    # raw pre-solve cost of round 0 (exact arm) — the energy scale of
-    # the frame's tracking problem (cost_f/cost_e are huberized, i.e.
-    # smaller than raw for the same residuals — the slack bound is in
-    # the frame's raw energy units by design: "≤1% of the tracking
-    # energy the frame posed")
-    cost_pre = float(np.asarray(out_e[4].cost_before)[0])
+    v_fast, v_exact = out_f[0], out_e[0]
+
+    # common-objective tracking energy (gate 2): huberized point-plane
+    # data cost of a warp under fresh EXACT correspondences at that warp
+    from dynamicfusion_body_tpu.models import warp_field as WF
+    from dynamicfusion_body_tpu.ops.marching_cubes import marching_cubes
+    from dynamicfusion_body_tpu.pipeline.correspondence import (
+        closest_point_correspondences,
+    )
+    from dynamicfusion_body_tpu.pipeline.frame import _blend_weights
+    from dynamicfusion_body_tpu.solvers import nonrigid as NR
+
+    live_mesh = marching_cubes(
+        lives[0], level=0.0, vert_cap=live_caps["live_vert_cap"],
+        face_cap=live_caps["live_face_cap"], step_size=1,
+        with_normals=False,
+    )
+    lmask = jnp.arange(live_caps["live_vert_cap"]) < live_mesh["n_verts"]
+    vmask0 = jnp.arange(caps["vert_cap"]) < mesh0["n_verts"]
+    nbr0 = WF.neighbor_lookup(wf0, mesh0["verts"], hyper["knn_k"])
+
+    @jax.jit
+    def track_energy(node_dq, lw_dq):
+        wfx = wf0.replace(node_dq=node_dq)
+        bw = _blend_weights(wfx, mesh0["verts"], nbr0)
+        wv, wn = WF.warp_points(
+            wfx, mesh0["verts"], nbr0, normals=mesh0["normals"],
+            m_lw=lw_dq,
+        )
+        corr, cval, _ = closest_point_correspondences(
+            wv, wn, vmask0, live_mesh["verts"], lmask, hyper["knn_k"],
+            hyper["tolerance"], approx=False,
+        )
+        data_args = (mesh0["verts"], mesh0["normals"], corr, cval, nbr0,
+                     bw)
+        P = 8
+        reg_args = (jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),
+                    jnp.zeros((P, 3), jnp.float32),
+                    jnp.zeros(P, jnp.float32), jnp.zeros(P, bool))
+        r_d, r_r = NR._residuals(node_dq, data_args, reg_args, lw_dq)
+        _, rob = NR._energies(r_d, r_r, lambda x: x)
+        return rob
+
+    cost_pre = float(track_energy(wf0.node_dq, lw0))
+    cost_f = float(track_energy(out_f[2].node_dq, out_f[3]))
+    cost_e = float(track_energy(out_e[2].node_dq, out_e[3]))
     adiff = jnp.abs(v_fast - v_exact)
     dev99 = float(jnp.percentile(adiff, 99.9))
     devmax = float(jnp.max(adiff))
     cost_ratio = cost_f / max(cost_e, 1e-30)
-    # Cost gate: ratio ≤ 1.1, with an absolute slack of 1% of the
-    # pre-solve energy. Rationale: both arms now converge to final costs
-    # ~400× below the frame's pre-solve cost, where the residual gap
-    # between cached-candidate and fresh-exact correspondences is noise
-    # on the tracking problem's scale — a pure ratio at that depth
-    # penalizes CONVERGING (round 2's 1.10 ratio "passed" with a solver
-    # that left costs 3× higher). The slack term asserts the fast path
-    # leaves at most 1% of the frame's tracking energy unremoved
-    # relative to exact.
     cost_slack = cost_f - cost_e
-    cost_ok = (cost_ratio < 1.10) or (cost_slack <= 0.01 * cost_pre)
-    acc_ok = (dev99 < 0.5) and cost_ok
+    cost_ok = (cost_ratio < 1.10) or (
+        (cost_slack <= 0.01 * cost_pre) and (cost_ratio < 2.0)
+    )
+    # certificate gate (gate 3). pool_risk: bricks whose 2-level
+    # candidate pool could not certify equality with the flat search
+    # (bench geometry certifies fully — any nonzero value means the
+    # approximation's safety story changed). corr_risk: vertices whose
+    # cached-candidate correspondence could not certify equality with a
+    # fresh search, summed over rounds AFTER certificate-steered refresh
+    # (rounds with > CORR_REFRESH_FRAC misses re-search in-graph and
+    # contribute 0) — the residual is allowed up to 1% of the canonical
+    # mesh (uncertified matches steer the GN exactly like the equally-
+    # valid alternative matches in gate 1; gate 2 bounds their aggregate
+    # effect on a common objective).
+    pool_risk = int(out_f[4].pool_risk)
+    corr_risk = int(out_f[4].corr_risk)
+    corr_refresh = int(out_f[4].corr_refresh)
+    n_verts = max(int(out_f[4].n_verts), 1)
+    risk_ok = (pool_risk == 0) and (corr_risk <= 0.01 * n_verts)
+    acc_ok = (dev99 < 0.5) and cost_ok and risk_ok
     print(f"# accuracy: |tsdf_fast - tsdf_exact| p99.9 = {dev99:.4f} "
-          f"max = {devmax:.4f}; final cost fast/exact = {cost_f:.2f}/"
-          f"{cost_e:.2f} = {cost_ratio:.3f}, pre-solve {cost_pre:.1f}, "
-          f"slack {cost_slack:.2f} <= {0.01 * cost_pre:.2f} "
+          f"max = {devmax:.4f}; common-objective cost fast/exact = "
+          f"{cost_f:.2f}/{cost_e:.2f} = {cost_ratio:.3f}, pre-solve(h) "
+          f"{cost_pre:.1f}, slack {cost_slack:.2f} <= "
+          f"{0.01 * cost_pre:.2f}; pool_risk {pool_risk} corr_risk "
+          f"{corr_risk}/{n_verts} corr_refresh {corr_refresh} "
           f"({'OK' if acc_ok else 'FAIL'})",
           file=sys.stderr)
 
@@ -239,6 +302,9 @@ def main():
                 "accuracy_cost_slack_vs_presolve": round(
                     cost_slack / max(cost_pre, 1e-30), 5
                 ),
+                "pool_risk": pool_risk,
+                "corr_risk": corr_risk,
+                "corr_refresh": corr_refresh,
                 "accuracy_ok": acc_ok,
             }
         )

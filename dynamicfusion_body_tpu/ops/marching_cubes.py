@@ -207,7 +207,7 @@ def _compact_map(csum, slots, S):
     jax.jit,
     static_argnames=(
         "vert_cap", "face_cap", "cell_cap", "step_size", "use_pallas",
-        "pallas_interpret",
+        "pallas_interpret", "with_normals",
     ),
 )
 def marching_cubes(
@@ -219,6 +219,7 @@ def marching_cubes(
     step_size: int = 1,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    with_normals: bool = True,
 ):
     """Extract the ``level`` isosurface of ``vol`` (X,Y,Z).
 
@@ -241,6 +242,12 @@ def marching_cubes(
     then live on the full (X,Y,Z) lattice with a dead last plane per
     axis (case byte 0 there) — rank arithmetic is unchanged because the
     valid cells stay in the same lexicographic order.
+
+    ``with_normals=False`` skips the gradient computation and returns
+    zero normals — the three full-volume ``jnp.gradient`` passes are
+    ~45 ms at 256³ (docs/tpu_kernel_notes.md), which is most of the MC
+    cost for consumers that only need vertex positions (e.g. the fused
+    frame's live correspondence targets, pipeline/frame.py).
     """
     del cell_cap  # legacy knob: compaction no longer needs a cell list
     if step_size > 1:
@@ -386,18 +393,21 @@ def marching_cubes(
     # volume there degenerates to a 2-tap lerp between the edge endpoints,
     # and the interpolated volume value is `level` exactly by construction
     # of t = (lo-level)/(lo-hi).
-    stride = jnp.where(ea == 0, Y * Z, jnp.where(ea == 1, Z, 1))
-    lin0 = elin
-    lin1 = jnp.minimum(elin + stride, nxyz - 1)
-    comps = []
-    for g in jnp.gradient(vol):  # three separate (X,Y,Z) — never stacked
-        gf = g.reshape(-1)
-        g0 = jnp.take(gf, lin0, axis=0)
-        g1 = jnp.take(gf, lin1, axis=0)
-        comps.append(g0 + et * (g1 - g0))
-    nrm = -jnp.stack(comps, axis=-1)
-    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-    normals = nrm / jnp.maximum(nn, 1e-20)
+    if with_normals:
+        stride = jnp.where(ea == 0, Y * Z, jnp.where(ea == 1, Z, 1))
+        lin0 = elin
+        lin1 = jnp.minimum(elin + stride, nxyz - 1)
+        comps = []
+        for g in jnp.gradient(vol):  # three separate (X,Y,Z) — never stacked
+            gf = g.reshape(-1)
+            g0 = jnp.take(gf, lin0, axis=0)
+            g1 = jnp.take(gf, lin1, axis=0)
+            comps.append(g0 + et * (g1 - g0))
+        nrm = -jnp.stack(comps, axis=-1)
+        nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        normals = nrm / jnp.maximum(nn, 1e-20)
+    else:
+        normals = jnp.zeros((vert_cap, 3), jnp.float32)
     values = jnp.where(vmask0, jnp.float32(level), 0.0)
 
     if step_size > 1:

@@ -37,6 +37,11 @@ from .correspondence import (
 class FrameStats(NamedTuple):
     cost_before: jax.Array  # (iters,) raw cost per GN round
     cost_after: jax.Array   # (iters,) huberized cost per GN round
+    cost_before_h: jax.Array  # (iters,) HUBERIZED pre-solve cost per
+                            # round — same units as cost_after, so
+                            # "unremoved energy" slack bounds compare
+                            # like with like (raw ≥ huberized for the
+                            # same residuals; ADVICE r3)
     n_corr: jax.Array       # valid correspondences in round 0
     n_nodes: jax.Array      # active nodes after graph update
     n_verts: jax.Array      # canonical mesh verts after graph update
@@ -52,8 +57,35 @@ class FrameStats(NamedTuple):
                             # cached-candidate correspondence could not
                             # be certified == a fresh exact search (ball
                             # certificate in correspondences_from_
-                            # candidates) — conservative; 0 on the grid
-                            # path
+                            # candidates) — RESIDUAL risk: rounds whose
+                            # certificate misses exceeded CORR_REFRESH_
+                            # FRAC re-ran a fresh full search in-graph
+                            # and contribute 0; 0 on the grid path
+    corr_refresh: jax.Array  # solve rounds that re-ran a fresh full
+                            # correspondence search because the cached-
+                            # candidate drift certificate failed for
+                            # > CORR_REFRESH_FRAC of the mesh (the
+                            # certificate STEERS, it doesn't just
+                            # report — large-motion frames self-repair)
+    ell_overflow: jax.Array  # JᵀWJ contributions dropped by the solver's
+                            # block-ELL degree cap, summed over solve
+                            # rounds (gn_solve_core docstring). Nonzero
+                            # = the CG operator was under-assembled:
+                            # results stay correct (exact-energy
+                            # acceptance) but the solve may stall —
+                            # raise solvers.nonrigid.ELL_DEGREE_CAP
+
+
+# When a solve round's drift certificate fails for more than this
+# fraction of the canonical mesh, the round abandons the cached candidate
+# set and re-runs a fresh full search in-graph (lax.cond — the fresh
+# branch only executes on such rounds). Measured (tools/diag_gate.py,
+# round 4): on a large-motion frame, uncertified cached matches leave the
+# warp ~7.6× worse on a fresh-correspondence objective, while certified
+# reuse is indistinguishable from fresh — so the certificate is the
+# correct switch, and 1% misses bounds the uncertified contribution well
+# below the solve's own tolerance.
+CORR_REFRESH_FRAC = 0.01
 
 
 def _canonical_mesh(values, vert_cap, face_cap, step_size,
@@ -115,7 +147,7 @@ def init_canonical(
         "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
         "ftol", "tolerance", "brick", "n_candidates", "update_graph",
         "use_pallas", "use_grid_corr", "approx_knn", "reuse_corr",
-        "allow_large",
+        "allow_large", "exact_candidates",
     ),
 )
 def fusion_frame(
@@ -146,6 +178,7 @@ def fusion_frame(
     approx_knn: bool = False,
     reuse_corr: bool = True,
     allow_large: bool = False,
+    exact_candidates: bool = False,
     canon_mesh=None,
 ):
     """One DynamicFusion frame. Returns (values', weights', wf', lw',
@@ -153,7 +186,12 @@ def fusion_frame(
 
     ``vert_cap`` sizes the canonical mesh (extracted at ``mc_step``);
     ``live_vert_cap`` sizes the step-1 live mesh (defaults to vert_cap) —
-    keep the canonical cap snug, every solver array scales with it."""
+    keep the canonical cap snug, every solver array scales with it.
+
+    ``exact_candidates=True`` bypasses the 2-level brick candidate
+    approximation in the TSDF update (flat per-brick kNN over the whole
+    node pool; pool_risk is then 0 by construction) — the conservative
+    arm of the bench accuracy cross-check."""
     if live_vert_cap is None:
         live_vert_cap = vert_cap
     if live_face_cap is None:
@@ -187,9 +225,12 @@ def fusion_frame(
     nbr_idx = WF.neighbor_lookup(wf, mesh["verts"], knn_k)
     blend_wts = _blend_weights(wf, mesh["verts"], nbr_idx)
 
+    # live normals are never consumed (correspondences only target live
+    # vertex POSITIONS, core/fusion.py:251-276) — skipping them drops the
+    # three full-volume gradient passes (~45 ms at 256³)
     live_mesh = marching_cubes(
         live, level=0.0, vert_cap=live_vert_cap, face_cap=live_face_cap,
-        step_size=1, use_pallas=use_pallas,
+        step_size=1, use_pallas=use_pallas, with_normals=False,
     )
     lmask = jnp.arange(live_vert_cap) < live_mesh["n_verts"]
 
@@ -215,11 +256,15 @@ def fusion_frame(
                 wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
                 grid_n=grid_n,
             )
-            return c, v, bc, jnp.int32(0)
+            return c, v, bc, jnp.int32(0), jnp.int32(0)
     elif reuse_corr:
         cand_idx, d_kc, cand_risk = correspondence_candidates(
             wv0, vmask, live_mesh["verts"], lmask, kc=max(4 * knn_k, 16),
             approx=approx_knn,
+        )
+        n_valid0 = jnp.sum(vmask.astype(jnp.int32))
+        risk_cap = jnp.maximum(
+            (CORR_REFRESH_FRAC * n_valid0).astype(jnp.int32), 8
         )
 
         def correspondences(wf_, lw_):
@@ -227,10 +272,27 @@ def fusion_frame(
                 wf_, mesh["verts"], nbr_idx, normals=mesh["normals"],
                 m_lw=lw_,
             )
-            return correspondences_from_candidates(
+            c, v, bc, risk = correspondences_from_candidates(
                 wv, wn, vmask, live_mesh["verts"], lmask, cand_idx, d_kc,
                 wv0, knn_k, tolerance,
             )
+
+            # certificate-steered refresh: when the round's warp has
+            # drifted so far from the frame-entry state that the ball
+            # certificate fails for > CORR_REFRESH_FRAC of the mesh,
+            # abandon the cache and re-search (the fresh branch only
+            # executes on such rounds — lax.cond)
+            def fresh(_):
+                c2, v2, bc2 = closest_point_correspondences(
+                    wv, wn, vmask, live_mesh["verts"], lmask, knn_k,
+                    tolerance, approx=approx_knn,
+                )
+                return c2, v2, bc2, jnp.int32(0), jnp.int32(1)
+
+            def keep(_):
+                return c, v, bc, risk, jnp.int32(0)
+
+            return jax.lax.cond(risk > risk_cap, fresh, keep, None)
     else:
         # fresh full search every round — the reference's literal behavior
         # (core/fusion.py:371 → 251-276); the conservative arm of the
@@ -244,11 +306,11 @@ def fusion_frame(
                 wv, wn, vmask, live_mesh["verts"], lmask, knn_k, tolerance,
                 approx=approx_knn,
             )
-            return c, v, bc, jnp.int32(0)
+            return c, v, bc, jnp.int32(0), jnp.int32(0)
 
     # --- rigid presolve (core/fusion.py:350-364): residuals on node-field
     # pre-warped points, pose applied on top
-    corr, cvalid, _, risk0 = correspondences(wf, lw_dq)
+    corr, cvalid, _, risk0, refresh0 = correspondences(wf, lw_dq)
     pv, pn = WF.warp_points(wf, mesh["verts"], nbr_idx, normals=mesh["normals"])
     lw_dq, _ = solve_rigid(lw_dq, pv, pn, corr, cvalid, iterations=12)
 
@@ -264,11 +326,11 @@ def fusion_frame(
     base_scale = jnp.maximum(wi_, wj_)
 
     def round_fn(carry, it):
-        node_dq, lw_, rw, act = carry
+        node_dq, lw_, rw, act, dmp = carry
 
         def run(args):
-            node_dq, lw_, rw = args
-            corr_, cval_, _, risk_ = correspondences(
+            node_dq, lw_, rw, dmp = args
+            corr_, cval_, _, risk_, refresh_ = correspondences(
                 wf.replace(node_dq=node_dq), lw_
             )
             pair_scale = rw * base_scale
@@ -276,36 +338,46 @@ def fusion_frame(
                          nbr_idx, blend_wts)
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pmask0)
             # cb = the raw pre-solve cost (the reference prints raw cost
-            # before and huberized cost after, core/fusion.py:375-398)
-            new_dq, cb, _, ca = solve_nonrigid(
+            # before and huberized cost after, core/fusion.py:375-398).
+            # damping_init warm-starts the LM trust region from the
+            # previous relaxation round — the rounds re-solve the same
+            # basin with a relaxed reg weight, so the converged damping
+            # carries over (gn_solve_core docstring).
+            new_dq, cb, cbh, ca, dmp_new, ellov = solve_nonrigid(
                 node_dq, *data_args, *reg_args, lw_,
                 gn_iters=gn_iters, cg_iters=cg_iters, ftol=ftol,
-                dense_pairs=True,
+                dense_pairs=True, damping_init=dmp,
             )
-            return new_dq, cb, ca, risk_
+            return new_dq, cb, cbh, ca, risk_, refresh_, dmp_new, ellov
 
         def skip(args):
-            node_dq, _, _ = args
-            return node_dq, jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0)
+            node_dq, _, _, dmp = args
+            return (node_dq, jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.int32(0), jnp.int32(0), dmp,
+                    jnp.int32(0))
 
         # deactivated rounds are genuinely skipped (the reference breaks
         # out of its iteration loop, core/fusion.py:405-412)
-        node_dq, cb, ca, risk_ = jax.lax.cond(
-            act, run, skip, (node_dq, lw_, rw)
+        node_dq, cb, cbh, ca, risk_, refresh_, dmp, ellov = jax.lax.cond(
+            act, run, skip, (node_dq, lw_, rw, dmp)
         )
         relax, rw_next = relaxation_step(cb, ca, rw)
         rw = jnp.where(act, rw_next, rw)
         act = act & relax
-        return (node_dq, lw_, rw, act), (cb, ca, risk_)
+        return (node_dq, lw_, rw, act, dmp), (cb, cbh, ca, risk_, refresh_,
+                                              ellov)
 
     rw0 = jnp.asarray(regularization_weight, jnp.float32)
-    (node_dq, lw_dq, _, _), (cbs, cas, risks) = jax.lax.scan(
+    (node_dq, lw_dq, _, _, _), (
+        cbs, cbhs, cas, risks, refreshes, ellovs
+    ) = jax.lax.scan(
         round_fn,
-        (wf.node_dq, lw_dq, rw0, jnp.bool_(True)),
+        (wf.node_dq, lw_dq, rw0, jnp.bool_(True), jnp.float32(1e-4)),
         jnp.arange(solve_iters),
     )
     wf = wf.replace(node_dq=node_dq)
     corr_risk = cand_risk + risk0 + jnp.sum(risks)
+    corr_refresh = refresh0 + jnp.sum(refreshes)
 
     # --- non-rigid canonical fusion (153-198). The per-brick node
     # candidate lists AND the per-voxel kNN selection/blend-weight/wi
@@ -318,10 +390,16 @@ def fusion_frame(
         warp_cache = (canon_mesh["warp_sel"], canon_mesh["warp_selw"],
                       canon_mesh["warp_wi"])
     else:
-        cand_cache = WF.brick_candidates_2level(
-            wf, values.shape, brick, n_candidates, with_risk=True,
-            risk_k=knn_k,
-        )
+        if exact_candidates:
+            cand_cache = (
+                WF.brick_candidates(wf, values.shape, brick, n_candidates),
+                jnp.int32(0),
+            )
+        else:
+            cand_cache = WF.brick_candidates_2level(
+                wf, values.shape, brick, n_candidates, with_risk=True,
+                risk_k=knn_k,
+            )
         warp_cache = WF.build_warp_cache(
             wf, values.shape, cand_cache[0], knn_k, brick
         )
@@ -350,10 +428,18 @@ def fusion_frame(
     wf_next = wf
 
     def _recompute(_):
-        cc = WF.brick_candidates_2level(
-            wf_next, values.shape, brick, n_candidates, with_risk=True,
-            risk_k=knn_k,
-        )
+        if exact_candidates:
+            cc = (
+                WF.brick_candidates(
+                    wf_next, values.shape, brick, n_candidates
+                ),
+                jnp.int32(0),
+            )
+        else:
+            cc = WF.brick_candidates_2level(
+                wf_next, values.shape, brick, n_candidates, with_risk=True,
+                risk_k=knn_k,
+            )
         wc = WF.build_warp_cache(
             wf_next, values.shape, cc[0], knn_k, brick
         )
@@ -372,6 +458,7 @@ def fusion_frame(
     stats = FrameStats(
         cost_before=cbs,
         cost_after=cas,
+        cost_before_h=cbhs,
         n_corr=n_corr0,
         n_nodes=wf.num_active,
         n_verts=mesh_out["n_verts"],
@@ -381,5 +468,7 @@ def fusion_frame(
         ),
         pool_risk=pool_risk,
         corr_risk=corr_risk,
+        corr_refresh=corr_refresh,
+        ell_overflow=jnp.sum(ellovs),
     )
     return values, weights, wf, lw_dq, stats, mesh_out

@@ -266,7 +266,7 @@ class FusionDM:
         return np.asarray(v), np.asarray(w)
 
     # ------------------------------------------------------------------ #
-    def marching_cubes(self, tsdf=None, step_size=1):
+    def marching_cubes(self, tsdf=None, step_size=1, with_normals=True):
         """Extract a surface; with no args, caches the canonical mesh like
         the reference (core/fusion_dm.py:319-331)."""
         if step_size < 1:
@@ -279,6 +279,7 @@ class FusionDM:
             face_cap=self._face_cap,
             step_size=step_size,
             use_pallas=_mc_pallas(),
+            with_normals=with_normals,
         )
         _warn_mesh_overflow(out, self._vert_cap, self._face_cap)
         if tsdf is None:
@@ -298,7 +299,9 @@ class FusionDM:
         the global DQ only)."""
         if self._mesh is None:
             self.marching_cubes()
-        live = self.marching_cubes(curr_tsdf, step_size=1)
+        # live normals are unused (correspondences target positions only)
+        live = self.marching_cubes(curr_tsdf, step_size=1,
+                                   with_normals=False)
         from ..ops.dualquat import dq_transform_normal, dq_transform_point
 
         nv = int(self._mesh["n_verts"])
@@ -489,7 +492,7 @@ class Fusion:
         self._blend_wts = jnp.where(act, jnp.exp(-((d / (2.0 * nw)) ** 2)), 0.0)
 
     # ------------------------------------------------------------------ #
-    def marching_cubes(self, tsdf=None, step_size=0):
+    def marching_cubes(self, tsdf=None, step_size=0, with_normals=True):
         if step_size < 1:
             step_size = self._marching_cubes_step_size
         # live/external volumes get the live caps; the canonical mesh
@@ -504,6 +507,7 @@ class Fusion:
             face_cap=fcap,
             step_size=step_size,
             use_pallas=_mc_pallas(),
+            with_normals=with_normals,
         )
         _warn_mesh_overflow(out, vcap, fcap)
         if tsdf is None:
@@ -543,7 +547,9 @@ class Fusion:
         self._corr_tolerance = float(tolerance)
         self._corr_live_mc_step = int(live_mc_step)
         self._curr_tsdf = jnp.asarray(curr_tsdf, dtype=jnp.float32)
-        live = self.marching_cubes(self._curr_tsdf, step_size=live_mc_step)
+        # live normals are unused (correspondences target positions only)
+        live = self.marching_cubes(self._curr_tsdf, step_size=live_mc_step,
+                                   with_normals=False)
         m = self._mesh
         vmask = jnp.arange(self._vert_cap) < int(m["n_verts"])
         lmask = jnp.arange(self._live_vert_cap) < int(live["n_verts"])

@@ -46,3 +46,16 @@ def synthetic_depth_sphere(h, w, K, center, radius, lw=None):
     tpar = np.where(disc > 0, (-B - np.sqrt(np.maximum(disc, 0))) / (2 * A), 0.0)
     tpar = np.where(tpar > 0, tpar, 0.0)
     return (-tpar).astype(np.float32)
+
+
+def bumpy_levelset(res, center, radius, amp, freq, phase=0.0):
+    """Sphere with angular bumps — deformable-body stand-in (the bench's
+    geometry, bench.py:bumpy_sdf)."""
+    g = np.arange(res, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    dx, dy, dz = x - center[0], y - center[1], z - center[2]
+    r = np.sqrt(dx * dx + dy * dy + dz * dz) + 1e-6
+    theta = np.arccos(np.clip(dz / r, -1, 1))
+    phi = np.arctan2(dy, dx)
+    bump = amp * np.sin(freq * theta + phase) * np.cos(freq * phi + phase)
+    return (r - (radius + bump)).astype(np.float32)

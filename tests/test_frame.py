@@ -153,3 +153,42 @@ def test_fusion_frame_large_volume_guard():
             ),
             vol, vol, vol, wf_small, lw,
         )
+
+
+def test_certificate_steered_corr_refresh():
+    """On a LARGE-motion frame, the cached-candidate drift certificate
+    must fire and steer the reuse path into fresh in-graph searches
+    (pipeline/frame.py CORR_REFRESH_FRAC), leaving zero residual risk and
+    a final cost matching the always-fresh path. Round-4 fix for the
+    round-3 bench-gate discrepancy: uncertified cached matches left the
+    warp ~7.6x worse on a fresh-correspondence objective
+    (tools/diag_gate.py)."""
+    from fixtures import bumpy_levelset
+
+    res = 64
+    canonical = bumpy_levelset(res, (32, 32, 32), 18.0, 2.0, 3.0, 0.0)
+    live = bumpy_levelset(res, (33, 32, 32), 18.0, 2.0, 3.0, 0.3)
+    tdist = float(canonical.max())
+    caps = dict(vert_cap=1 << 12, face_cap=1 << 13)
+    wf, _ = init_canonical(
+        jnp.asarray(canonical), subsample_rate=1.5, node_cap=512, mc_step=2,
+        **caps,
+    )
+    lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], jnp.float32)
+    h = dict(
+        regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
+        solve_iters=3, gn_iters=4, cg_iters=8, tolerance=5.0,
+        n_candidates=16, **caps,
+    )
+    args = (jnp.asarray(canonical), jnp.zeros((res,) * 3),
+            jnp.asarray(live), wf, lw)
+    out_r = fusion_frame(*args, reuse_corr=True, **h)
+    out_f = fusion_frame(*args, reuse_corr=False, **h)
+    st = out_r[4]
+    # the big motion must trip the certificate on every solve round ...
+    assert int(st.corr_refresh) >= 2
+    # ... after which the residual (uncertified-but-used) risk is zero
+    assert int(st.corr_risk) == 0
+    ca_r = float(np.asarray(st.cost_after)[-1])
+    ca_f = float(np.asarray(out_f[4].cost_after)[-1])
+    assert ca_r <= 1.05 * ca_f

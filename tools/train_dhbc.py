@@ -234,6 +234,31 @@ def ablation(verts, faces, params_trained, size, n_views=24, angle=0.7,
     )
     out["clpts"] = match_error(corr, valid, live_v, np.ones(V, bool))
 
+    # attribution arm: yaw-invariant GEOMETRY, zero learning. The CNN
+    # path's yaw robustness comes from averaging descriptors over the
+    # full view circle — quotienting out yaw. The geometric equivalent
+    # of that quotient is matching on (height, cylindrical radius) of
+    # the same normalized vertices the renderer sees: whatever error
+    # this arm reaches is what view-circle averaging alone buys, and
+    # only the margin beyond it is attributable to learned features.
+    from dynamicfusion_body_tpu.pipeline.cnn_correspondence import (
+        regularize_verts,
+    )
+    from dynamicfusion_body_tpu.pipeline.correspondence import (
+        feature_correspondences,
+    )
+
+    def yawinv_desc(v):
+        reg = regularize_verts(jnp.asarray(v), vmask)
+        r_cyl = jnp.sqrt(reg[:, 0] ** 2 + reg[:, 2] ** 2)
+        return jnp.stack([reg[:, 1], r_cyl], axis=-1)
+
+    corr, valid = feature_correspondences(
+        yawinv_desc(verts), vmask, yawinv_desc(live_v),
+        jnp.asarray(live_v), vmask,
+    )
+    out["clpts_yawinv"] = match_error(corr, valid, live_v, np.ones(V, bool))
+
     for tag, p in (("cnn_random", None), ("cnn_trained", params_trained)):
         cc = CnnCorrespondence(image_size=size)
         if p is not None:
