@@ -22,7 +22,11 @@ from jax import shard_map
 
 from ..models.tsdf_volume import fuse_depth, update_tsdf_rigid
 from ..models.warp_field import WarpField, update_tsdf_nonrigid
-from ..solvers.nonrigid import gn_solve_core
+from ..solvers.nonrigid import (
+    ELL_DEGREE_CAP,
+    gn_solve_core,
+    make_block_ell_sharded,
+)
 from .mesh import VOXEL_AXIS
 
 
@@ -124,14 +128,22 @@ def solve_nonrigid_sharded(
     ):
         data_args = (verts, normals, corrs, corr_mask, nbr_idx, blend_wts)
         reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
+        # shard-aware block-ELL: the slot dictionary is built from the
+        # all-gathered coupling graph (tiny), each device assembles its
+        # local contributions into GLOBAL slots, and one psum of the
+        # block table finishes the assembly — the sharded solve gets the
+        # same 4.8×-cheaper assembled-block CG matvec as single-chip
+        # (make_block_ell_sharded docstring; round-3 verdict #6).
+        ell_ctx = make_block_ell_sharded(
+            VOXEL_AXIS, nbr_idx, corr_mask, pair_i, pair_j, pair_mask,
+            node_dq.shape[0], ELL_DEGREE_CAP,
+        )
         return gn_solve_core(
             node_dq, data_args, reg_args, lw_dq,
             gn_iters, cg_iters, damping, ftol,
             lambda x: jax.lax.psum(x, VOXEL_AXIS),
-            # the ELL slot mapping is shard-local and cannot be psum'd
-            # (solvers/nonrigid.gn_solve_core docstring) — the sharded
-            # solve keeps the row matvec, which the psum hook covers
-            cg_rtol=cg_rtol, dense_pairs=dense_pairs, use_ell=False,
+            cg_rtol=cg_rtol, dense_pairs=dense_pairs, use_ell=True,
+            ell_ctx=ell_ctx,
         )
 
     return jax.jit(

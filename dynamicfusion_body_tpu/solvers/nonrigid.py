@@ -312,6 +312,137 @@ def make_block_ell(nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
     return reduce_ell, ell_nbr, self_ids, present, jnp.sum(over)
 
 
+def make_block_ell_sharded(
+    axis_name, nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
+    D: int,
+):
+    """Shard-aware block-ELL (round-3 verdict #6): the slot DICTIONARY is
+    built from the all-gathered coupling graph — identical on every
+    device — so each device reduces its LOCAL contributions into GLOBAL
+    slots and one ``psum`` of the (64, M·D) block table finishes the
+    assembly. The coupling graph is tiny (V·k int32 ≈ 400 KB at bench
+    scale), so gathering it costs one small all-gather per solve round
+    while every CG iteration keeps the assembled-block matvec the
+    single-chip path gets (4.8× cheaper than the row matvec it replaces
+    in parallel/sharded.py).
+
+    Same contract as ``make_block_ell`` (drop-in for gn_solve_core's
+    ``ell_ctx``), with two sharding-specific differences:
+    * ``reduce_ell`` includes the cross-device ``psum`` — its result is
+      the GLOBAL block table, replicated;
+    * regularization contributions (replicated — every device computes
+      all of them) are pre-scaled by 1/n_devices inside the reducer so
+      the psum restores them exactly (n_devices is a power of two on
+      every real mesh, so the scale round-trips bit-exactly in f32).
+
+    Local keys that were dropped from the dictionary by the degree cap
+    simply match no slot (the reducer sums, per slot, the local
+    contributions whose key EQUALS the slot's key), so overflow behaves
+    exactly like the single-chip path: under-assembly, counted once,
+    globally, in the returned overflow.
+    """
+    i32 = jnp.int32
+    n_dev = jax.lax.psum(1, axis_name)
+
+    # ---- global coupling keys (replicated after the gathers) ----------
+    nbr_all = jax.lax.all_gather(nbr_idx, axis_name, tiled=True)
+    cmask_all = jax.lax.all_gather(corr_mask, axis_name, tiled=True)
+    k = nbr_idx.shape[1]
+    a_g = jnp.concatenate(
+        [nbr_all[:, ka] for ka in range(k) for _ in range(k)]
+        + [pair_i, pair_i, pair_j, pair_j]
+    ).astype(i32)
+    b_g = jnp.concatenate(
+        [nbr_all[:, kb] for _ in range(k) for kb in range(k)]
+        + [pair_i, pair_j, pair_i, pair_j]
+    ).astype(i32)
+    valid_g = jnp.concatenate(
+        [jnp.tile(cmask_all, k * k), jnp.tile(pair_mask, 4)]
+    )
+    BIG = jnp.int32(M * M)  # M ≤ 46340 keeps M² in int32
+    keys_g = jnp.where(valid_g, a_g * M + b_g, BIG)
+    Tg = keys_g.shape[0]
+
+    # ---- slot dictionary (same construction as make_block_ell) --------
+    sk = jnp.sort(keys_g)
+    node = sk // M
+    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
+    newseg = sk != prev
+    seg_id = jnp.cumsum(newseg.astype(i32)) - 1
+    first_idx = searchsorted1d(node, jnp.arange(M, dtype=i32), side="left")
+    first_seg = jnp.take(seg_id, jnp.minimum(first_idx, Tg - 1), axis=0)
+    d_slot = seg_id - jnp.take(first_seg, jnp.minimum(node, M - 1), axis=0)
+    dead = node >= M
+    over = (d_slot >= D) & ~dead
+    ids_mono = jnp.where(dead, M * D,
+                         node * D + jnp.minimum(d_slot, D - 1))
+    slots = jnp.arange(M * D, dtype=i32)
+    seg_hi = searchsorted1d(ids_mono, slots, side="right")
+    seg_lo = jnp.concatenate([jnp.zeros((1,), seg_hi.dtype), seg_hi[:-1]])
+    empty = seg_hi == seg_lo
+    lo_c = jnp.minimum(seg_lo, Tg - 1)
+    # the key each slot holds (BIG for empty slots — local dead keys are
+    # BIG too, but the reducer zero-scales them, so empty slots stay 0).
+    # NOTE overflowed keys clamp into slot D-1's ids_mono range, but the
+    # slot's KEY is its segment-start key (the legitimate d_slot = D-1
+    # coupling), so overflow keys match no slot_key and drop out — the
+    # single-chip `keep` semantics, expressed as key inequality.
+    slot_key = jnp.where(empty, BIG, jnp.take(sk, lo_c, axis=0))
+    ell_nbr = jnp.where(empty, 0, jnp.take(sk % M, lo_c, axis=0))
+
+    key_self = (jnp.arange(M, dtype=i32) * M) + jnp.arange(M, dtype=i32)
+    pos = searchsorted1d(sk, key_self, side="left")
+    pos_c = jnp.minimum(pos, Tg - 1)
+    present = (jnp.take(sk, pos_c, axis=0) == key_self) & ~jnp.take(
+        over, pos_c, axis=0
+    )
+    self_ids = jnp.minimum(jnp.take(ids_mono, pos_c, axis=0), M * D - 1)
+    # overflow is counted on the GLOBAL key multiset (replicated) —
+    # do NOT psum it again
+    n_overflow = jnp.sum(over).astype(i32)
+
+    # ---- local contribution keys, in gn_solve_core's enumeration order
+    # (chunk-major (ka, kb) data chunks over the LOCAL vertex shard, then
+    # the 4 replicated reg combos) -------------------------------------
+    a_l = jnp.concatenate(
+        [nbr_idx[:, ka] for ka in range(k) for _ in range(k)]
+        + [pair_i, pair_i, pair_j, pair_j]
+    ).astype(i32)
+    b_l = jnp.concatenate(
+        [nbr_idx[:, kb] for _ in range(k) for kb in range(k)]
+        + [pair_i, pair_j, pair_i, pair_j]
+    ).astype(i32)
+    valid_l = jnp.concatenate(
+        [jnp.tile(corr_mask, k * k), jnp.tile(pair_mask, 4)]
+    )
+    keys_l = jnp.where(valid_l, a_l * M + b_l, BIG)
+    nd = nbr_idx.shape[0] * k * k
+    scale_l = jnp.where(valid_l, 1.0, 0.0) * jnp.concatenate(
+        [
+            jnp.ones((nd,), jnp.float32),
+            jnp.full((4 * pair_i.shape[0],), 1.0 / n_dev, jnp.float32),
+        ]
+    )
+    order_l = jnp.argsort(keys_l)
+    sk_l = jnp.take(keys_l, order_l, axis=0)
+    sc_l = jnp.take(scale_l, order_l, axis=0)
+    hi_l = searchsorted1d(sk_l, slot_key, side="right")
+    lo_l = searchsorted1d(sk_l, slot_key, side="left")
+
+    def reduce_ell(x):  # (R, T_local) local order → (R, M·D) GLOBAL
+        xs = jnp.take(x, order_l, axis=1) * sc_l[None, :]
+        csum = jnp.cumsum(xs, axis=1)
+        padded = jnp.concatenate(
+            [jnp.zeros(x.shape[:1] + (1,), x.dtype), csum], axis=1
+        )
+        part = jnp.take(padded, hi_l, axis=1) - jnp.take(
+            padded, lo_l, axis=1
+        )
+        return jax.lax.psum(part, axis_name)
+
+    return reduce_ell, ell_nbr, self_ids, present, n_overflow
+
+
 ELL_DEGREE_CAP = 24  # 2× the measured bench max coupling degree (12)
 
 
@@ -331,6 +462,7 @@ def gn_solve_core(
     freeze_frac: float = 0.25,
     flat_factor: float = 100.0,
     damping_init=None,
+    ell_ctx=None,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
@@ -350,11 +482,16 @@ def gn_solve_core(
     ``use_ell``: assemble JᵀWJ into an (M, D, 8, 8) block-ELL table (see
     make_block_ell) so each CG matvec is one gather + one block einsum
     instead of ~10 gather/segment ops over the (8, V·k) rows — 1.8 →
-    ~0.2 ms per iteration at bench scale. Single chip only: the slot
-    mapping is built from the LOCAL vertex shard, so assembled blocks
-    cannot be psum'd across devices — the sharded solver passes
-    use_ell=False and keeps the row matvec (whose reductions the psum
-    hook covers).
+    ~0.2 ms per iteration at bench scale. Under shard_map, pass
+    ``ell_ctx`` from ``make_block_ell_sharded``: its slot dictionary is
+    built from the all-gathered (replicated) coupling graph so the block
+    tables psum across devices; without it the slot mapping is built
+    from the local vertex shard and is single-chip only.
+
+    ``ell_ctx``: optional prebuilt (reduce_ell, ell_nbr, self_ids,
+    self_present, ell_overflow) — ``reduce_ell`` must produce the GLOBAL
+    block table (the sharded builder folds the psum in) and
+    ``ell_overflow`` must already be globally reduced.
 
     ``freeze_frac`` (ELL path only): the assembly reduce is the single
     most expensive per-GN-step operation (7.5 of ~12.7 ms at bench scale,
@@ -427,12 +564,19 @@ def gn_solve_core(
     if use_ell:
         # block-ELL slot mapping: depends only on the (fixed-per-round)
         # sparsity, shared by all GN steps and CG iterations
-        reduce_ell, ell_nbr, self_ids, self_present, n_over = make_block_ell(
-            nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
-            ELL_DEGREE_CAP,
-        )
+        if ell_ctx is not None:
+            reduce_ell, ell_nbr, self_ids, self_present, ell_overflow = (
+                ell_ctx
+            )
+        else:
+            reduce_ell, ell_nbr, self_ids, self_present, n_over = (
+                make_block_ell(
+                    nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
+                    ELL_DEGREE_CAP,
+                )
+            )
+            ell_overflow = psum(n_over).astype(jnp.int32)
         DC = ELL_DEGREE_CAP
-        ell_overflow = psum(n_over).astype(jnp.int32)
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and

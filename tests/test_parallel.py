@@ -86,14 +86,15 @@ def test_solve_nonrigid_sharded_matches_single(rng):
         wf.node_vert_idx, jnp.array(nbr), wf.node_w, wf.active, jnp.float32(0.3))
     pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
 
-    # use_ell=False: the sharded solver keeps the row matvec (the ELL
-    # slot mapping is shard-local, gn_solve_core docstring), so the
-    # apples-to-apples single-chip reference is the row path too
+    # the sharded solver now assembles the SAME block-ELL normal matrix
+    # as single-chip (global slot dictionary from the all-gathered
+    # coupling graph + psum'd block table, make_block_ell_sharded), so
+    # the apples-to-apples single-chip reference is the ELL path
     want_x, want_c0_raw, want_c0, want_c1, _, _ = solve_nonrigid(
         wf.node_dq, jnp.array(verts), jnp.array(normals), jnp.array(corrs),
         jnp.ones(n_verts, bool), jnp.array(nbr), jnp.array(wts),
         pair_i, pair_j, pair_v, pair_scale, pair_mask, lw,
-        gn_iters=3, cg_iters=12, use_ell=False)
+        gn_iters=3, cg_iters=12, use_ell=True)
 
     vs = NamedSharding(mesh, P(VOXEL_AXIS))
     solver = sharded.solve_nonrigid_sharded(mesh, gn_iters=3, cg_iters=12)
