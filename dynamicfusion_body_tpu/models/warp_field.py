@@ -153,8 +153,8 @@ def brick_candidates(
 
 def brick_candidates_2level(
     wf: WarpField, shape, brick: int, n_candidates: int, x_offset=0,
-    s: int = 2, n_super: int = 64, with_risk: bool = False,
-    risk_k: int | None = None,
+    s: int = 2, n_super: int = 192, with_risk: bool = False,
+    risk_k: int | None = None, with_pool: bool = False,
 ):
     """Two-level brick_candidates: exact top-``n_super`` nodes per
     SUPER-brick of s³ bricks, then per brick the top-``n_candidates``
@@ -177,7 +177,20 @@ def brick_candidates_2level(
     certifying the full candidate list). Zero risk ⇒ the voxel-level
     top-``risk_k`` is certifiably identical to the flat search
     everywhere; nonzero ⇒ drift is possible and callers should surface
-    it (or switch to ``exact_candidates``).
+    it (or switch to ``exact_candidates``). NOTE this brick-level bound
+    worst-cases over the brick (±half-diagonal twice) and the super
+    (brick offset from the super center) — ~20 voxels of padding, which
+    no realistic pool radius clears in the far field. The TIGHT
+    certificate is the per-voxel one ``build_warp_cache`` computes when
+    given ``pool_ctx`` (measured round 4 at the 256³ bench: 32765/32768
+    bricks "at risk" by this bound vs 0.002% of voxels MATERIALLY at
+    risk per-voxel) — prefer ``with_pool=True`` + the cache certificate;
+    this brick-level count remains for cache-less callers.
+
+    ``with_pool=True`` returns ``(out, r_pool)`` — the per-super pool
+    radii (NS,) needed by ``build_warp_cache``'s per-voxel certificate
+    (``None`` when the grid does not tile by ``s`` and the result fell
+    back to the flat — exact — search).
     """
     rx, ry, rz = shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
@@ -185,6 +198,8 @@ def brick_candidates_2level(
         out = brick_candidates(
             wf, shape, brick, n_candidates, x_offset=x_offset
         )
+        if with_pool:
+            return out, None
         return (out, jnp.int32(0)) if with_risk else out
     nsx, nsy, nsz = nbx // s, nby // s, nbz // s
     NS = nsx * nsy * nsz
@@ -246,6 +261,8 @@ def brick_candidates_2level(
     out = cand_s.reshape(nsx, nsy, nsz, s, s, s, C)
     out = out.transpose(0, 3, 1, 4, 2, 5, 6)
     out = out.reshape(nbx * nby * nbz, C)
+    if with_pool:
+        return out, sdist[:, -1]
     if not with_risk:
         return out
     # conservative pool-boundary-miss certificate (see docstring): any
@@ -266,7 +283,7 @@ def brick_candidates_2level(
     return out, jnp.sum(at_risk.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("shape", "k", "brick"))
+@partial(jax.jit, static_argnames=("shape", "k", "brick", "sfac"))
 def build_warp_cache(
     wf: WarpField,
     shape,
@@ -274,6 +291,8 @@ def build_warp_cache(
     k: int,
     brick: int,
     x_offset=0,
+    pool_ctx=None,
+    sfac: int = 2,
 ):
     """Per-voxel kNN selection cache for ``update_tsdf_nonrigid``.
 
@@ -294,6 +313,27 @@ def build_warp_cache(
            selection was inactive/out-of-pool), in selection order, so
            rebuilding wsel by summing disjoint one-hots is bit-identical;
       wi   (NB, V) f32 — mean distance over the finite selections.
+
+    ``pool_ctx`` (the per-super pool radii ``r_pool`` from
+    ``brick_candidates_2level(..., with_pool=True)``, with ``sfac`` its
+    bricks-per-super factor): additionally returns a 4th element — the
+    per-voxel MATERIAL pool-risk count. Per voxel v with selected first/
+    k-th distances d₁/d_k, any node OUTSIDE v's super pool is
+    ≥ r_pool − |v − super_center| =: L away, so the selection certifiably
+    equals the flat (exact) search wherever d_k < L — with NO brick-level
+    worst-casing (the brick-ball version pads ~20 voxels and cannot
+    certify the far field; measured round 4 at 256³: per-voxel leaves
+    0.002% of voxels uncertified vs 32765/32768 bricks). A certificate
+    miss is MATERIAL only where some node meaningfully influences the
+    voxel, d₁ ≤ 3·max(node_w): beyond every node's 3σ Gaussian influence
+    the blend is extrapolation among ~equidistant nodes in the pooled
+    and flat variants alike (the weights all underflow e⁻⁹ before
+    normalization), the live sample it steers is saturated far-field by
+    the same distance argument, and the fusion weight wi errs by at most
+    the pool slack RELATIVE to an already-large distance — so far-field
+    misses cannot move any fused value materially, and the count reports
+    only the near-field misses a caller should act on (switch to
+    ``exact_candidates`` / raise ``n_super``).
     """
     rx, ry, rz = shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
@@ -335,12 +375,17 @@ def build_warp_cache(
         ws = []
         wi_sum = jnp.zeros((nbs, V), f32)
         wi_cnt = jnp.zeros((nbs, V), f32)
+        d_first = None
+        d_last = None
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (nbs, C, V), 1)
         for j in range(k):
             bc = jnp.argmin(d2, axis=1)                 # (nbs, V)
             chosen = iota_c == bc[:, None, :]
             best_d2 = jnp.min(d2, axis=1)
             dk = jnp.sqrt(jnp.minimum(best_d2, big))
+            if j == 0:
+                d_first = dk
+            d_last = dk
             w_node = jnp.sum(
                 jnp.where(chosen, ncw[:, :, None], 0.0), axis=1
             )
@@ -355,8 +400,47 @@ def build_warp_cache(
             wi_cnt = wi_cnt + finite.astype(f32)
             d2 = jnp.where(chosen, big, d2)
         wi = wi_sum / jnp.maximum(wi_cnt, 1.0)
-        return sel, jnp.stack(ws, axis=1), wi
+        if pool_ctx is None:
+            return sel, jnp.stack(ws, axis=1), wi
+        # per-voxel pool certificate (docstring): L = r_pool − |v − sc|
+        # in LOCAL coordinates (the super grid of THIS call — under
+        # sharding both r_pool and the voxels carry the same x_offset,
+        # which cancels in the distance)
+        r_pool = pool_ctx
+        nsy, nsz = nby // sfac, nbz // sfac
+        sb = brick * sfac
+        sxc = (s // sfac).astype(f32) * sb + (sb - 1) / 2.0  # scalar/slab
+        syc = (by0 // sb).astype(jnp.int32).astype(f32) * sb + (sb - 1) / 2.0
+        szc = (bz0 // sb).astype(jnp.int32).astype(f32) * sb + (sb - 1) / 2.0
+        sidx = (
+            (s // sfac) * (nsy * nsz)
+            + (by0 // sb).astype(jnp.int32) * nsz
+            + (bz0 // sb).astype(jnp.int32)
+        )                                                   # (nbs,)
+        rp = jnp.take(r_pool, sidx, axis=0)                 # (nbs,)
+        pxl = (s * brick).astype(f32) + ox[None, :]         # local x
+        dsc = jnp.sqrt(
+            (pxl - sxc) ** 2
+            + (pyv - syc[:, None]) ** 2
+            + (pzv - szc[:, None]) ** 2
+        )
+        L = rp[:, None] - dsc
+        material = d_first <= 3.0 * sw_max
+        at_risk = material & (d_last >= L)
+        return sel, jnp.stack(ws, axis=1), wi, jnp.sum(
+            at_risk.astype(jnp.int32)
+        )
 
+    if pool_ctx is not None:
+        sw_max = jnp.max(jnp.where(wf.active, wf.node_w, 0.0))
+        sels, ws, wis, risks = jax.lax.map(slab, jnp.arange(nbx))
+        NB = nbx * nbs
+        return (
+            sels.reshape(NB, V),
+            ws.reshape(NB, k, V),
+            wis.reshape(NB, V),
+            jnp.sum(risks),
+        )
     sels, ws, wis = jax.lax.map(slab, jnp.arange(nbx))
     NB = nbx * nbs
     return (

@@ -48,11 +48,13 @@ class FrameStats(NamedTuple):
     overflow: jax.Array     # bool: any mesh cap or node pool saturated
                             # this frame (output silently truncated —
                             # grow vert_cap/face_cap/node_cap)
-    pool_risk: jax.Array    # bricks whose 2-level node-candidate pool
+    pool_risk: jax.Array    # VOXELS whose 2-level node-candidate pool
                             # could not be certified == the flat search
-                            # (conservative bound; see warp_field.
-                            # brick_candidates_2level) — monitor, and
-                            # switch to exact candidates if persistent
+                            # AND that lie within some node's 3σ
+                            # influence (the per-voxel material
+                            # certificate, build_warp_cache pool_ctx
+                            # docstring) — monitor, and switch to exact
+                            # candidates if persistent
     corr_risk: jax.Array    # vertices (summed over solve rounds) whose
                             # cached-candidate correspondence could not
                             # be certified == a fresh exact search (ball
@@ -86,6 +88,28 @@ class FrameStats(NamedTuple):
 # correct switch, and 1% misses bounds the uncertified contribution well
 # below the solve's own tolerance.
 CORR_REFRESH_FRAC = 0.01
+
+
+def _build_caches(wf, vol_shape, brick, n_candidates, knn_k,
+                  exact_candidates):
+    """(cand_cache, warp_cache) for update_tsdf_nonrigid — with the
+    per-voxel MATERIAL pool certificate as the cached risk (see
+    build_warp_cache's pool_ctx docstring; the brick-level ball bound
+    cannot certify the far field and fired on ~100% of 256³ bricks)."""
+    if exact_candidates:
+        cand = WF.brick_candidates(wf, vol_shape, brick, n_candidates)
+        warp_cache = WF.build_warp_cache(wf, vol_shape, cand, knn_k, brick)
+        return (cand, jnp.int32(0)), warp_cache
+    cand, r_pool = WF.brick_candidates_2level(
+        wf, vol_shape, brick, n_candidates, with_pool=True
+    )
+    if r_pool is None:  # grid not s-tileable: flat (exact) fallback
+        warp_cache = WF.build_warp_cache(wf, vol_shape, cand, knn_k, brick)
+        return (cand, jnp.int32(0)), warp_cache
+    sel, selw, wi, risk = WF.build_warp_cache(
+        wf, vol_shape, cand, knn_k, brick, pool_ctx=r_pool
+    )
+    return (cand, risk), (sel, selw, wi)
 
 
 def _canonical_mesh(values, vert_cap, face_cap, step_size,
@@ -390,18 +414,8 @@ def fusion_frame(
         warp_cache = (canon_mesh["warp_sel"], canon_mesh["warp_selw"],
                       canon_mesh["warp_wi"])
     else:
-        if exact_candidates:
-            cand_cache = (
-                WF.brick_candidates(wf, values.shape, brick, n_candidates),
-                jnp.int32(0),
-            )
-        else:
-            cand_cache = WF.brick_candidates_2level(
-                wf, values.shape, brick, n_candidates, with_risk=True,
-                risk_k=knn_k,
-            )
-        warp_cache = WF.build_warp_cache(
-            wf, values.shape, cand_cache[0], knn_k, brick
+        cand_cache, warp_cache = _build_caches(
+            wf, values.shape, brick, n_candidates, knn_k, exact_candidates
         )
     values, weights, esc_dropped, pool_risk = WF.update_tsdf_nonrigid(
         values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist, wmax=wmax,
@@ -428,20 +442,9 @@ def fusion_frame(
     wf_next = wf
 
     def _recompute(_):
-        if exact_candidates:
-            cc = (
-                WF.brick_candidates(
-                    wf_next, values.shape, brick, n_candidates
-                ),
-                jnp.int32(0),
-            )
-        else:
-            cc = WF.brick_candidates_2level(
-                wf_next, values.shape, brick, n_candidates, with_risk=True,
-                risk_k=knn_k,
-            )
-        wc = WF.build_warp_cache(
-            wf_next, values.shape, cc[0], knn_k, brick
+        cc, wc = _build_caches(
+            wf_next, values.shape, brick, n_candidates, knn_k,
+            exact_candidates,
         )
         return cc + wc
 

@@ -710,12 +710,11 @@ class Fusion:
         # until update_graph changes the node set (it clears them)
         C = min(16, self._node_cap)
         if self._upd_cache is None or self._upd_cache[0] != (brick, C):
-            cand, pool_risk0 = WF.brick_candidates_2level(
-                self._warp, vals.shape, brick, C, with_risk=True,
-                risk_k=self._knn,
-            )
-            wc = WF.build_warp_cache(
-                self._warp, vals.shape, cand, self._knn, brick
+            from .frame import _build_caches
+
+            (cand, pool_risk0), wc = _build_caches(
+                self._warp, vals.shape, brick, C, self._knn,
+                exact_candidates=False,
             )
             self._upd_cache = ((brick, C), cand, pool_risk0, wc)
         _, cand, pool_risk0, wc = self._upd_cache
@@ -737,11 +736,11 @@ class Fusion:
             import warnings
 
             warnings.warn(
-                f"updateTSDF: {int(pool_risk)} bricks could not certify the "
-                "2-level node-candidate pool covers their exact kNN "
-                "(clustered/irregular node distribution); fusion blend "
-                "weights may drift from the flat search there — consider "
-                "exact_candidates=True"
+                f"updateTSDF: {int(pool_risk)} node-influenced voxels "
+                "could not certify the 2-level node-candidate pool covers "
+                "their exact kNN (clustered/irregular node distribution); "
+                "fusion blend weights may drift from the flat search there "
+                "— consider exact_candidates=True"
             )
         sx, sy, sz = shape0
         self.volume = self.volume.replace(
