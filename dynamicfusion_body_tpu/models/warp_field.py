@@ -324,16 +324,20 @@ def build_warp_cache(
     worst-casing (the brick-ball version pads ~20 voxels and cannot
     certify the far field; measured round 4 at 256³: per-voxel leaves
     0.002% of voxels uncertified vs 32765/32768 bricks). A certificate
-    miss is MATERIAL only where some node meaningfully influences the
-    voxel, d₁ ≤ 3·max(node_w): beyond every node's 3σ Gaussian influence
-    the blend is extrapolation among ~equidistant nodes in the pooled
-    and flat variants alike (the weights all underflow e⁻⁹ before
-    normalization), the live sample it steers is saturated far-field by
-    the same distance argument, and the fusion weight wi errs by at most
-    the pool slack RELATIVE to an already-large distance — so far-field
-    misses cannot move any fused value materially, and the count reports
-    only the near-field misses a caller should act on (switch to
-    ``exact_candidates`` / raise ``n_super``).
+    miss is MATERIAL only where some node — pooled OR out-of-pool —
+    could meaningfully influence the voxel: min(d₁, L) ≤ 3·max(node_w),
+    where L lower-bounds the distance to any out-of-pool node (using d₁
+    alone would misclassify a clustered out-of-pool node with
+    L ≤ 3·w ≤ d₁, ADVICE r4). Beyond 3·w of every node the blend is
+    extrapolation among ~equidistant nodes in the pooled and flat
+    variants alike (each unnormalized weight is ≤ e^−(3w/2w)² = e^−2.25
+    ≈ 0.1 and they cancel in the normalization), the live sample it
+    steers is saturated far-field by the same distance argument, and the
+    fusion weight wi errs by at most the pool slack RELATIVE to an
+    already-large distance — so far-field misses cannot move any fused
+    value materially, and the count reports only the near-field misses a
+    caller should act on (switch to ``exact_candidates`` / raise
+    ``n_super``).
     """
     rx, ry, rz = shape
     nbx, nby, nbz = rx // brick, ry // brick, rz // brick
@@ -425,7 +429,12 @@ def build_warp_cache(
             + (pzv - szc[:, None]) ** 2
         )
         L = rp[:, None] - dsc
-        material = d_first <= 3.0 * sw_max
+        # materiality must consider the NEAREST possibly-influential node
+        # on either side of the pool boundary: the pooled first selection
+        # (d_first) or an out-of-pool node, which is ≥ L away but may be
+        # exactly at L (ADVICE r4: clustered nodes with L ≤ 3·w ≤ d_first
+        # are a genuinely material miss that d_first alone misclassifies)
+        material = jnp.minimum(d_first, L) <= 3.0 * sw_max
         at_risk = material & (d_last >= L)
         return sel, jnp.stack(ws, axis=1), wi, jnp.sum(
             at_risk.astype(jnp.int32)
