@@ -54,6 +54,7 @@ data-term reduction; the solver math exists once.
 from __future__ import annotations
 
 from functools import partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -446,6 +447,178 @@ def make_block_ell_sharded(
 ELL_DEGREE_CAP = 24  # 2× the measured bench max coupling degree (12)
 
 
+class SolverCtx(NamedTuple):
+    """Frame-constant solver plumbing (round-5 restructure, VERDICT r4 #1).
+
+    Everything here depends only on the SPARSITY of the problem — the
+    per-vertex kNN table, the reg pair lists, and the mesh valid mask —
+    which is fixed for a whole frame while the reference's relaxation
+    loop re-solves 3× with refreshed correspondences and a relaxed reg
+    weight (core/fusion.py:405-412). Building it once per frame and
+    passing it to every ``gn_solve_core`` round removes the per-round
+    argsorts (slot dictionary over ~260k coupling keys + three sorted
+    reducers) that round 4 paid 3× per frame.
+
+    The slot dictionary is built with the mesh VALID mask as the data-
+    coupling validity (a superset of any round's correspondence mask):
+    contributions from vertices without a valid correspondence that round
+    carry exactly-zero Jacobians, so they add 0 to their slots and the
+    assembled table is identical to one built from the round's own mask —
+    only the degree-cap overflow accounting can differ (conservatively).
+
+    ``assemble_blocks(Jd8w, Jd8, contrib_r)`` assembles the (64, M·D)
+    block table from the CURRENT step's Jacobians: the data part gathers
+    two (8, T_d) operand panels by presorted indices and forms the 64
+    outer-product rows lazily inside the cumsum consumer — replacing the
+    old path's (64, T) random gather of materialized chunk products (8×
+    the gathered elements). ``contrib_r`` is the (64, 4P) reg combo table
+    in [ii, ij, ji, jj] order (still gathered directly — its 3-component
+    folded rows are not a single outer product).
+    """
+
+    red_nbr: Callable        # (R, V·k) → (R, M) data-term segment sum
+    red_pi: Callable         # (R, P) → (R, M) reg i-side reduction
+    take_pi: Callable        # (R, M) → (R, P) reg i-side gather
+    red_pj: Callable         # (R, P) → (R, M) reg j-side reduction
+    assemble_blocks: Callable | None  # see class docstring (None when
+                             # built with with_ell=False)
+    ell_nbr: jax.Array | None       # (M·D,) coupled node per slot
+    self_ids: jax.Array | None      # (M,) slot of each diagonal block
+    self_present: jax.Array | None  # (M,) bool
+    n_overflow: jax.Array | None    # LOCAL overflow count (caller psums)
+
+
+def make_solver_ctx(
+    nbr_idx, valid_mask, pair_i, pair_j, pair_mask, M: int,
+    D: int = ELL_DEGREE_CAP, dense_pairs: bool = True,
+    with_ell: bool = True,
+):
+    """Build the frame-constant :class:`SolverCtx` (see its docstring).
+
+    ``valid_mask`` is the per-vertex validity used for the slot
+    dictionary — pass the mesh valid mask when the ctx is shared across
+    relaxation rounds (it must be a superset of every round's
+    correspondence mask), or the round's correspondence mask for a
+    single solve.
+    """
+    i32 = jnp.int32
+    V, k = nbr_idx.shape
+    P = pair_i.shape[0]
+
+    red_nbr = make_sorted_reducer(nbr_idx.reshape(-1), M)
+    if dense_pairs:
+        kp = P // M
+        red_pi = lambda x: jnp.sum(x.reshape(x.shape[0], M, kp), axis=2)
+        take_pi = lambda p8: jnp.broadcast_to(
+            p8[:, :, None], (p8.shape[0], M, kp)
+        ).reshape(p8.shape[0], M * kp)
+    else:
+        red_pi = make_sorted_reducer(pair_i, M)
+        take_pi = lambda p8: jnp.take(p8, pair_i, axis=1)
+    red_pj = make_sorted_reducer(pair_j, M)
+
+    if not with_ell:
+        return SolverCtx(red_nbr, red_pi, take_pi, red_pj,
+                         None, None, None, None, None)
+
+    # ---- global slot dictionary (key-matched, like the sharded builder:
+    # a slot sums exactly the contributions whose coupling key EQUALS the
+    # slot's key, so degree-cap overflow keys match no slot and drop out)
+    a_d = jnp.concatenate(
+        [nbr_idx[:, ka] for ka in range(k) for _ in range(k)]
+    ).astype(i32)
+    b_d = jnp.concatenate(
+        [nbr_idx[:, kb] for _ in range(k) for kb in range(k)]
+    ).astype(i32)
+    v_d = jnp.tile(valid_mask, k * k)
+    a_r = jnp.concatenate([pair_i, pair_i, pair_j, pair_j]).astype(i32)
+    b_r = jnp.concatenate([pair_i, pair_j, pair_i, pair_j]).astype(i32)
+    v_r = jnp.tile(pair_mask, 4)
+    BIG = jnp.int32(M * M)  # M ≤ 46340 keeps M² in int32
+    keys_d = jnp.where(v_d, a_d * M + b_d, BIG)
+    keys_r = jnp.where(v_r, a_r * M + b_r, BIG)
+
+    keys_g = jnp.concatenate([keys_d, keys_r])
+    Tg = keys_g.shape[0]
+    sk = jnp.sort(keys_g)
+    node = sk // M
+    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
+    seg_id = jnp.cumsum((sk != prev).astype(i32)) - 1
+    first_idx = searchsorted1d(node, jnp.arange(M, dtype=i32), side="left")
+    first_seg = jnp.take(seg_id, jnp.minimum(first_idx, Tg - 1), axis=0)
+    d_slot = seg_id - jnp.take(first_seg, jnp.minimum(node, M - 1), axis=0)
+    dead = node >= M
+    over = (d_slot >= D) & ~dead
+    ids_mono = jnp.where(dead, M * D, node * D + jnp.minimum(d_slot, D - 1))
+    slots = jnp.arange(M * D, dtype=i32)
+    seg_hi = searchsorted1d(ids_mono, slots, side="right")
+    seg_lo = jnp.concatenate([jnp.zeros((1,), seg_hi.dtype), seg_hi[:-1]])
+    empty = seg_hi == seg_lo
+    lo_c = jnp.minimum(seg_lo, Tg - 1)
+    # empty slots key BIG: they match only dead columns, whose Jacobians
+    # are exactly zero (corr_mask ⊆ valid_mask zeroes J_d; pair_mask
+    # zeroes J_r), so their sums stay 0
+    slot_key = jnp.where(empty, BIG, jnp.take(sk, lo_c, axis=0))
+    ell_nbr = jnp.where(empty, 0, jnp.take(sk % M, lo_c, axis=0))
+
+    key_self = (jnp.arange(M, dtype=i32) * M) + jnp.arange(M, dtype=i32)
+    pos = searchsorted1d(sk, key_self, side="left")
+    pos_c = jnp.minimum(pos, Tg - 1)
+    present = (jnp.take(sk, pos_c, axis=0) == key_self) & ~jnp.take(
+        over, pos_c, axis=0
+    )
+    self_ids = jnp.minimum(jnp.take(ids_mono, pos_c, axis=0), M * D - 1)
+    n_overflow = jnp.sum(over).astype(i32)
+
+    # ---- data-part operand panels: presorted gather indices into the
+    # (8, V·k) Jacobian row layout (column v·k + kslot)
+    arV = jnp.arange(V, dtype=i32)
+    vA = jnp.concatenate(
+        [arV * k + ka for ka in range(k) for _ in range(k)]
+    )
+    vB = jnp.concatenate(
+        [arV * k + kb for _ in range(k) for kb in range(k)]
+    )
+    order_d = jnp.argsort(keys_d)
+    sk_d = jnp.take(keys_d, order_d, axis=0)
+    idxA = jnp.take(vA, order_d, axis=0)
+    idxB = jnp.take(vB, order_d, axis=0)
+    hi_d = searchsorted1d(sk_d, slot_key, side="right")
+    lo_d = searchsorted1d(sk_d, slot_key, side="left")
+
+    # ---- reg part: direct (64, 4P) gather, key-matched boundaries
+    order_r = jnp.argsort(keys_r)
+    sk_r = jnp.take(keys_r, order_r, axis=0)
+    hi_r = searchsorted1d(sk_r, slot_key, side="right")
+    lo_r = searchsorted1d(sk_r, slot_key, side="left")
+
+    def assemble_blocks(Jd8w, Jd8, contrib_r):
+        A8 = jnp.take(Jd8w, idxA, axis=1)          # (8, T_d)
+        B8 = jnp.take(Jd8, idxB, axis=1)
+        contrib_d = jnp.concatenate(
+            [A8[a : a + 1] * B8 for a in range(8)], axis=0
+        )                                           # (64, T_d), fused
+        cs_d = jnp.cumsum(contrib_d, axis=1)
+        pad_d = jnp.concatenate(
+            [jnp.zeros((64, 1), cs_d.dtype), cs_d], axis=1
+        )
+        data64 = jnp.take(pad_d, hi_d, axis=1) - jnp.take(
+            pad_d, lo_d, axis=1
+        )
+        xr = jnp.take(contrib_r, order_r, axis=1)
+        cs_r = jnp.cumsum(xr, axis=1)
+        pad_r = jnp.concatenate(
+            [jnp.zeros((64, 1), cs_r.dtype), cs_r], axis=1
+        )
+        reg64 = jnp.take(pad_r, hi_r, axis=1) - jnp.take(
+            pad_r, lo_r, axis=1
+        )
+        return data64 + reg64
+
+    return SolverCtx(red_nbr, red_pi, take_pi, red_pj, assemble_blocks,
+                     ell_nbr, self_ids, present, n_overflow)
+
+
 def gn_solve_core(
     node_dq,
     data_args,
@@ -463,6 +636,7 @@ def gn_solve_core(
     flat_factor: float = 100.0,
     damping_init=None,
     ell_ctx=None,
+    solver_ctx: SolverCtx | None = None,
 ):
     """Damped GN outer loop; block JᵀWJ matvec + Jacobi-PCG inner solve.
 
@@ -492,6 +666,12 @@ def gn_solve_core(
     self_present, ell_overflow) — ``reduce_ell`` must produce the GLOBAL
     block table (the sharded builder folds the psum in) and
     ``ell_overflow`` must already be globally reduced.
+
+    ``solver_ctx``: optional frame-constant :class:`SolverCtx` shared by
+    several solve rounds (pipeline/frame.py builds one per frame); when
+    omitted, an equivalent per-call ctx is built from the round's own
+    sparsity. Mutually exclusive with ``ell_ctx``'s ELL part (``ell_ctx``
+    wins for the block table; the ctx still supplies the rhs reducers).
 
     ``freeze_frac`` (ELL path only): the assembly reduce is the single
     most expensive per-GN-step operation (7.5 of ~12.7 ms at bench scale,
@@ -546,37 +726,34 @@ def gn_solve_core(
     cost0_raw, cost0 = _energies(r_d0, r_r0, psum)
 
     nbr_flat0 = nbr_idx.reshape(-1)
-    red_nbr = make_sorted_reducer(nbr_flat0, M)
-    if dense_pairs:
-        # pair_i = repeat(arange(M), kp): the i-side reduction is a plain
-        # reshape-sum and the i-side gather a broadcast — no data movement.
-        red_pi = lambda x: jnp.sum(x.reshape(x.shape[0], M, kp), axis=2)
-        take_pi = lambda p8: jnp.broadcast_to(
-            p8[:, :, None], (p8.shape[0], M, kp)
-        ).reshape(p8.shape[0], M * kp)
-    else:
-        red_pi = make_sorted_reducer(pair_i, M)
-        take_pi = lambda p8: jnp.take(p8, pair_i, axis=1)
-    red_pj = make_sorted_reducer(pair_j, M)
     V, k = nbr_idx.shape
     N = V * k
+    if solver_ctx is None:
+        # per-call ctx (standalone solves); pipeline/frame.py passes one
+        # frame-constant ctx shared by all relaxation rounds instead
+        solver_ctx = make_solver_ctx(
+            nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
+            dense_pairs=dense_pairs,
+            with_ell=use_ell and ell_ctx is None,
+        )
+    red_nbr = solver_ctx.red_nbr
+    red_pi = solver_ctx.red_pi
+    take_pi = solver_ctx.take_pi
+    red_pj = solver_ctx.red_pj
     ell_overflow = jnp.int32(0)
     if use_ell:
-        # block-ELL slot mapping: depends only on the (fixed-per-round)
-        # sparsity, shared by all GN steps and CG iterations
         if ell_ctx is not None:
+            # old-style prebuilt ctx (the sharded builder): a single
+            # reducer over the full chunk-major contribution table
             reduce_ell, ell_nbr, self_ids, self_present, ell_overflow = (
                 ell_ctx
             )
         else:
-            reduce_ell, ell_nbr, self_ids, self_present, n_over = (
-                make_block_ell(
-                    nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M,
-                    ELL_DEGREE_CAP,
-                )
-            )
-            ell_overflow = psum(n_over).astype(jnp.int32)
-        DC = ELL_DEGREE_CAP
+            ell_nbr = solver_ctx.ell_nbr
+            self_ids = solver_ctx.self_ids
+            self_present = solver_ctx.self_present
+            ell_overflow = psum(solver_ctx.n_overflow).astype(jnp.int32)
+        DC = ell_nbr.shape[0] // M
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
     # (N, k, 8) shapes would pad their minor dims to the (8,128) tile and
@@ -637,35 +814,54 @@ def gn_solve_core(
             # the energy has dropped freeze_frac since the last assembly
             # (see the docstring) — the carried stale blocks are reused
             # otherwise.
+            def reg_outer(Jx24, Jy24):
+                return sum(
+                    (
+                        (w_r3[c] * Jx24[c * 8 : (c + 1) * 8])[:, None, :]
+                        * Jy24[c * 8 : (c + 1) * 8][None, :, :]
+                    )
+                    for c in range(3)
+                ).reshape(64, -1)
+
             def assemble(_):
-                Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)  # (k,8,V)
-                JdT = J_d.transpose(1, 2, 0)                        # (k,8,V)
-                data_chunks = [
-                    (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
-                    for ka in range(k)
-                    for kb in range(k)
-                ]
-
-                def reg_outer(Jx24, Jy24):
-                    return sum(
-                        (
-                            (w_r3[c] * Jx24[c * 8 : (c + 1) * 8])[:, None, :]
-                            * Jy24[c * 8 : (c + 1) * 8][None, :, :]
+                if ell_ctx is not None:
+                    # old-style single reducer over the full chunk-major
+                    # contribution table (sharded path)
+                    Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)
+                    JdT = J_d.transpose(1, 2, 0)            # (k,8,V)
+                    data_chunks = [
+                        (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(
+                            64, V
                         )
-                        for c in range(3)
-                    ).reshape(64, -1)
-
-                contrib = jnp.concatenate(
-                    data_chunks
-                    + [
-                        reg_outer(Ji24, Ji24),
-                        reg_outer(Ji24, Jj24),
-                        reg_outer(Jj24, Ji24),
-                        reg_outer(Jj24, Jj24),
-                    ],
-                    axis=1,
-                )
-                blocks64 = reduce_ell(contrib)                  # (64, M·DC)
+                        for ka in range(k)
+                        for kb in range(k)
+                    ]
+                    contrib = jnp.concatenate(
+                        data_chunks
+                        + [
+                            reg_outer(Ji24, Ji24),
+                            reg_outer(Ji24, Jj24),
+                            reg_outer(Jj24, Ji24),
+                            reg_outer(Jj24, Jj24),
+                        ],
+                        axis=1,
+                    )
+                    blocks64 = reduce_ell(contrib)          # (64, M·DC)
+                else:
+                    # panel path: two (8, T_d) presorted gathers; the 64
+                    # outer-product rows fuse into the reduce (SolverCtx)
+                    contrib_r = jnp.concatenate(
+                        [
+                            reg_outer(Ji24, Ji24),
+                            reg_outer(Ji24, Jj24),
+                            reg_outer(Jj24, Ji24),
+                            reg_outer(Jj24, Jj24),
+                        ],
+                        axis=1,
+                    )
+                    blocks64 = solver_ctx.assemble_blocks(
+                        Jd8 * rep(w_d)[None, :], Jd8, contrib_r
+                    )
                 Bl_n = blocks64.T.reshape(M, DC, 8, 8)
                 blk_n = jnp.take(blocks64, self_ids, axis=1) * (
                     self_present.astype(jnp.float32)[None, :]
