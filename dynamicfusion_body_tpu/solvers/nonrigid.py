@@ -456,8 +456,8 @@ class SolverCtx(NamedTuple):
     loop re-solves 3× with refreshed correspondences and a relaxed reg
     weight (core/fusion.py:405-412). Building it once per frame and
     passing it to every ``gn_solve_core`` round removes the per-round
-    argsorts (slot dictionary over ~260k coupling keys + three sorted
-    reducers) that round 4 paid 3× per frame.
+    argsorts (slot dictionary over ~260k coupling keys, 19.9 ms measured
+    on v5e, + three sorted reducers) that round 4 paid 3× per frame.
 
     The slot dictionary is built with the mesh VALID mask as the data-
     coupling validity (a superset of any round's correspondence mask):
@@ -466,26 +466,20 @@ class SolverCtx(NamedTuple):
     assembled table is identical to one built from the round's own mask —
     only the degree-cap overflow accounting can differ (conservatively).
 
-    ``assemble_blocks(Jd8w, Jd8, contrib_r)`` assembles the (64, M·D)
-    block table from the CURRENT step's Jacobians: the data part gathers
-    two (8, T_d) operand panels by presorted indices and forms the 64
-    outer-product rows lazily inside the cumsum consumer — replacing the
-    old path's (64, T) random gather of materialized chunk products (8×
-    the gathered elements). ``contrib_r`` is the (64, 4P) reg combo table
-    in [ii, ij, ji, jj] order (still gathered directly — its 3-component
-    folded rows are not a single outer product).
+    ``ell`` is the ``make_block_ell`` 5-tuple (reduce_ell, ell_nbr,
+    self_ids, self_present, n_overflow); n_overflow is the LOCAL raw
+    count (the consumer psums it). A presorted-operand-panel variant of
+    the assembly (two (8, T_d) gathers + lazily fused outer rows) was
+    measured SLOWER than this single (64, T) gather reduce on v5e
+    (7.7 vs 6.1 ms — the split reduces pay 2× the boundary gathers and
+    lose the one-pass cumsum), so the chunk-major reducer stays.
     """
 
     red_nbr: Callable        # (R, V·k) → (R, M) data-term segment sum
     red_pi: Callable         # (R, P) → (R, M) reg i-side reduction
     take_pi: Callable        # (R, M) → (R, P) reg i-side gather
     red_pj: Callable         # (R, P) → (R, M) reg j-side reduction
-    assemble_blocks: Callable | None  # see class docstring (None when
-                             # built with with_ell=False)
-    ell_nbr: jax.Array | None       # (M·D,) coupled node per slot
-    self_ids: jax.Array | None      # (M,) slot of each diagonal block
-    self_present: jax.Array | None  # (M,) bool
-    n_overflow: jax.Array | None    # LOCAL overflow count (caller psums)
+    ell: tuple | None        # make_block_ell output (None: with_ell=False)
 
 
 def make_solver_ctx(
@@ -501,7 +495,6 @@ def make_solver_ctx(
     correspondence mask), or the round's correspondence mask for a
     single solve.
     """
-    i32 = jnp.int32
     V, k = nbr_idx.shape
     P = pair_i.shape[0]
 
@@ -517,106 +510,12 @@ def make_solver_ctx(
         take_pi = lambda p8: jnp.take(p8, pair_i, axis=1)
     red_pj = make_sorted_reducer(pair_j, M)
 
-    if not with_ell:
-        return SolverCtx(red_nbr, red_pi, take_pi, red_pj,
-                         None, None, None, None, None)
-
-    # ---- global slot dictionary (key-matched, like the sharded builder:
-    # a slot sums exactly the contributions whose coupling key EQUALS the
-    # slot's key, so degree-cap overflow keys match no slot and drop out)
-    a_d = jnp.concatenate(
-        [nbr_idx[:, ka] for ka in range(k) for _ in range(k)]
-    ).astype(i32)
-    b_d = jnp.concatenate(
-        [nbr_idx[:, kb] for _ in range(k) for kb in range(k)]
-    ).astype(i32)
-    v_d = jnp.tile(valid_mask, k * k)
-    a_r = jnp.concatenate([pair_i, pair_i, pair_j, pair_j]).astype(i32)
-    b_r = jnp.concatenate([pair_i, pair_j, pair_i, pair_j]).astype(i32)
-    v_r = jnp.tile(pair_mask, 4)
-    BIG = jnp.int32(M * M)  # M ≤ 46340 keeps M² in int32
-    keys_d = jnp.where(v_d, a_d * M + b_d, BIG)
-    keys_r = jnp.where(v_r, a_r * M + b_r, BIG)
-
-    keys_g = jnp.concatenate([keys_d, keys_r])
-    Tg = keys_g.shape[0]
-    sk = jnp.sort(keys_g)
-    node = sk // M
-    prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
-    seg_id = jnp.cumsum((sk != prev).astype(i32)) - 1
-    first_idx = searchsorted1d(node, jnp.arange(M, dtype=i32), side="left")
-    first_seg = jnp.take(seg_id, jnp.minimum(first_idx, Tg - 1), axis=0)
-    d_slot = seg_id - jnp.take(first_seg, jnp.minimum(node, M - 1), axis=0)
-    dead = node >= M
-    over = (d_slot >= D) & ~dead
-    ids_mono = jnp.where(dead, M * D, node * D + jnp.minimum(d_slot, D - 1))
-    slots = jnp.arange(M * D, dtype=i32)
-    seg_hi = searchsorted1d(ids_mono, slots, side="right")
-    seg_lo = jnp.concatenate([jnp.zeros((1,), seg_hi.dtype), seg_hi[:-1]])
-    empty = seg_hi == seg_lo
-    lo_c = jnp.minimum(seg_lo, Tg - 1)
-    # empty slots key BIG: they match only dead columns, whose Jacobians
-    # are exactly zero (corr_mask ⊆ valid_mask zeroes J_d; pair_mask
-    # zeroes J_r), so their sums stay 0
-    slot_key = jnp.where(empty, BIG, jnp.take(sk, lo_c, axis=0))
-    ell_nbr = jnp.where(empty, 0, jnp.take(sk % M, lo_c, axis=0))
-
-    key_self = (jnp.arange(M, dtype=i32) * M) + jnp.arange(M, dtype=i32)
-    pos = searchsorted1d(sk, key_self, side="left")
-    pos_c = jnp.minimum(pos, Tg - 1)
-    present = (jnp.take(sk, pos_c, axis=0) == key_self) & ~jnp.take(
-        over, pos_c, axis=0
-    )
-    self_ids = jnp.minimum(jnp.take(ids_mono, pos_c, axis=0), M * D - 1)
-    n_overflow = jnp.sum(over).astype(i32)
-
-    # ---- data-part operand panels: presorted gather indices into the
-    # (8, V·k) Jacobian row layout (column v·k + kslot)
-    arV = jnp.arange(V, dtype=i32)
-    vA = jnp.concatenate(
-        [arV * k + ka for ka in range(k) for _ in range(k)]
-    )
-    vB = jnp.concatenate(
-        [arV * k + kb for _ in range(k) for kb in range(k)]
-    )
-    order_d = jnp.argsort(keys_d)
-    sk_d = jnp.take(keys_d, order_d, axis=0)
-    idxA = jnp.take(vA, order_d, axis=0)
-    idxB = jnp.take(vB, order_d, axis=0)
-    hi_d = searchsorted1d(sk_d, slot_key, side="right")
-    lo_d = searchsorted1d(sk_d, slot_key, side="left")
-
-    # ---- reg part: direct (64, 4P) gather, key-matched boundaries
-    order_r = jnp.argsort(keys_r)
-    sk_r = jnp.take(keys_r, order_r, axis=0)
-    hi_r = searchsorted1d(sk_r, slot_key, side="right")
-    lo_r = searchsorted1d(sk_r, slot_key, side="left")
-
-    def assemble_blocks(Jd8w, Jd8, contrib_r):
-        A8 = jnp.take(Jd8w, idxA, axis=1)          # (8, T_d)
-        B8 = jnp.take(Jd8, idxB, axis=1)
-        contrib_d = jnp.concatenate(
-            [A8[a : a + 1] * B8 for a in range(8)], axis=0
-        )                                           # (64, T_d), fused
-        cs_d = jnp.cumsum(contrib_d, axis=1)
-        pad_d = jnp.concatenate(
-            [jnp.zeros((64, 1), cs_d.dtype), cs_d], axis=1
+    ell = None
+    if with_ell:
+        ell = make_block_ell(
+            nbr_idx, valid_mask, pair_i, pair_j, pair_mask, M, D
         )
-        data64 = jnp.take(pad_d, hi_d, axis=1) - jnp.take(
-            pad_d, lo_d, axis=1
-        )
-        xr = jnp.take(contrib_r, order_r, axis=1)
-        cs_r = jnp.cumsum(xr, axis=1)
-        pad_r = jnp.concatenate(
-            [jnp.zeros((64, 1), cs_r.dtype), cs_r], axis=1
-        )
-        reg64 = jnp.take(pad_r, hi_r, axis=1) - jnp.take(
-            pad_r, lo_r, axis=1
-        )
-        return data64 + reg64
-
-    return SolverCtx(red_nbr, red_pi, take_pi, red_pj, assemble_blocks,
-                     ell_nbr, self_ids, present, n_overflow)
+    return SolverCtx(red_nbr, red_pi, take_pi, red_pj, ell)
 
 
 def gn_solve_core(
@@ -743,16 +642,16 @@ def gn_solve_core(
     ell_overflow = jnp.int32(0)
     if use_ell:
         if ell_ctx is not None:
-            # old-style prebuilt ctx (the sharded builder): a single
-            # reducer over the full chunk-major contribution table
+            # prebuilt GLOBAL ctx (the sharded builder): reduce_ell
+            # psums internally, overflow already globally reduced
             reduce_ell, ell_nbr, self_ids, self_present, ell_overflow = (
                 ell_ctx
             )
         else:
-            ell_nbr = solver_ctx.ell_nbr
-            self_ids = solver_ctx.self_ids
-            self_present = solver_ctx.self_present
-            ell_overflow = psum(solver_ctx.n_overflow).astype(jnp.int32)
+            reduce_ell, ell_nbr, self_ids, self_present, n_over = (
+                solver_ctx.ell
+            )
+            ell_overflow = psum(n_over).astype(jnp.int32)
         DC = ell_nbr.shape[0] // M
 
     # All per-CG-iteration arrays live in channel-major (D, N) layout —
@@ -824,44 +723,26 @@ def gn_solve_core(
                 ).reshape(64, -1)
 
             def assemble(_):
-                if ell_ctx is not None:
-                    # old-style single reducer over the full chunk-major
-                    # contribution table (sharded path)
-                    Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)
-                    JdT = J_d.transpose(1, 2, 0)            # (k,8,V)
-                    data_chunks = [
-                        (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(
-                            64, V
-                        )
-                        for ka in range(k)
-                        for kb in range(k)
-                    ]
-                    contrib = jnp.concatenate(
-                        data_chunks
-                        + [
-                            reg_outer(Ji24, Ji24),
-                            reg_outer(Ji24, Jj24),
-                            reg_outer(Jj24, Ji24),
-                            reg_outer(Jj24, Jj24),
-                        ],
-                        axis=1,
+                Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)
+                JdT = J_d.transpose(1, 2, 0)                # (k,8,V)
+                data_chunks = [
+                    (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(
+                        64, V
                     )
-                    blocks64 = reduce_ell(contrib)          # (64, M·DC)
-                else:
-                    # panel path: two (8, T_d) presorted gathers; the 64
-                    # outer-product rows fuse into the reduce (SolverCtx)
-                    contrib_r = jnp.concatenate(
-                        [
-                            reg_outer(Ji24, Ji24),
-                            reg_outer(Ji24, Jj24),
-                            reg_outer(Jj24, Ji24),
-                            reg_outer(Jj24, Jj24),
-                        ],
-                        axis=1,
-                    )
-                    blocks64 = solver_ctx.assemble_blocks(
-                        Jd8 * rep(w_d)[None, :], Jd8, contrib_r
-                    )
+                    for ka in range(k)
+                    for kb in range(k)
+                ]
+                contrib = jnp.concatenate(
+                    data_chunks
+                    + [
+                        reg_outer(Ji24, Ji24),
+                        reg_outer(Ji24, Jj24),
+                        reg_outer(Jj24, Ji24),
+                        reg_outer(Jj24, Jj24),
+                    ],
+                    axis=1,
+                )
+                blocks64 = reduce_ell(contrib)              # (64, M·DC)
                 Bl_n = blocks64.T.reshape(M, DC, 8, 8)
                 blk_n = jnp.take(blocks64, self_ids, axis=1) * (
                     self_present.astype(jnp.float32)[None, :]

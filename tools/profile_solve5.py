@@ -126,6 +126,49 @@ def main():
             ell_ctx=ell_ctx))
         timeit(f"solve_{gn}gn16cg_prebuilt_ell", s, lambda o: f1(o[1]))
 
+    # prebuilt SolverCtx — the fusion_frame path (dictionary from vmask)
+    solver_ctx = NR.make_solver_ctx(nbr_idx, vmask, pair_i, pair_j,
+                                    pmask, M)
+    for gn in (8, 1):
+        s = jax.jit(lambda gn=gn: NR.gn_solve_core(
+            wf.node_dq, data_args, reg_args, lw,
+            gn, 16, 1e-4, 1e-5, lambda x: x, dense_pairs=True,
+            solver_ctx=solver_ctx))
+        timeit(f"solve_{gn}gn16cg_prebuilt_ctx", s, lambda o: f1(o[1]))
+
+    # assembly reduce isolated from the GN loop
+    V = mesh["verts"].shape[0]
+    k = knn_k
+    key = jax.random.PRNGKey(0)
+    J_d = jax.random.normal(key, (V, k, 8), jnp.float32)
+    w_d = jnp.abs(jax.random.normal(key, (V,), jnp.float32)) * cvalid
+    P = pair_i.shape[0]
+    Ji24 = jax.random.normal(key, (24, P), jnp.float32)
+    Jj24 = jax.random.normal(key, (24, P), jnp.float32)
+    w_r3 = jnp.abs(jax.random.normal(key, (3, P), jnp.float32))
+
+    def reg_outer(Jx24, Jy24):
+        return sum(
+            ((w_r3[c] * Jx24[c * 8:(c + 1) * 8])[:, None, :]
+             * Jy24[c * 8:(c + 1) * 8][None, :, :])
+            for c in range(3)
+        ).reshape(64, -1)
+
+    def asm_old():
+        Jw = (J_d * w_d[:, None, None]).transpose(1, 2, 0)
+        JdT = J_d.transpose(1, 2, 0)
+        chunks = [
+            (Jw[ka][:, None, :] * JdT[kb][None, :, :]).reshape(64, V)
+            for ka in range(k) for kb in range(k)
+        ]
+        contrib = jnp.concatenate(
+            chunks + [reg_outer(Ji24, Ji24), reg_outer(Ji24, Jj24),
+                      reg_outer(Jj24, Ji24), reg_outer(Jj24, Jj24)],
+            axis=1)
+        return ell_ctx[0](contrib)
+
+    timeit("assembly_gather64_reduce", jax.jit(asm_old), lambda o: f1(o))
+
     # ---- per-round correspondence re-rank --------------------------------
     wv0, wn0 = WF.warp_points(
         wf, mesh["verts"], nbr_idx, normals=mesh["normals"], m_lw=lw)
