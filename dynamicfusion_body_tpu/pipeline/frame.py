@@ -383,11 +383,18 @@ def fusion_frame(
             # damping_init warm-starts the LM trust region from the
             # previous relaxation round — the rounds re-solve the same
             # basin with a relaxed reg weight, so the converged damping
-            # carries over (gn_solve_core docstring).
+            # carries over (gn_solve_core docstring). CLAMPED to 100× the
+            # floor (ADVICE r4): a converged round can exit with damping
+            # inflated up to 10^MAX_LM_RETRIES, and feeding that to the
+            # next round (fresh correspondences + relaxed reg = new energy
+            # to remove) would make its first step near-zero — if the
+            # reduction then falls under ftol·e the round dies after one
+            # step with FRESH blocks, so no stale_fail rescue applies.
             new_dq, cb, cbh, ca, dmp_new, ellov = gn_solve_core(
                 node_dq, data_args, reg_args, lw_,
                 gn_iters, cg_iters, 1e-4, ftol, lambda x: x,
-                dense_pairs=True, damping_init=dmp,
+                dense_pairs=True,
+                damping_init=jnp.minimum(dmp, jnp.float32(1e-2)),
                 solver_ctx=solver_ctx,
             )
             return new_dq, cb, cbh, ca, risk_, refresh_, dmp_new, ellov

@@ -313,58 +313,49 @@ def make_block_ell(nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
     return reduce_ell, ell_nbr, self_ids, present, jnp.sum(over)
 
 
-def make_block_ell_sharded(
-    axis_name, nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
-    D: int,
-):
-    """Shard-aware block-ELL (round-3 verdict #6): the slot DICTIONARY is
-    built from the all-gathered coupling graph — identical on every
-    device — so each device reduces its LOCAL contributions into GLOBAL
-    slots and one ``psum`` of the (64, M·D) block table finishes the
-    assembly. The coupling graph is tiny (V·k int32 ≈ 400 KB at bench
-    scale), so gathering it costs one small all-gather per solve round
-    while every CG iteration keeps the assembled-block matvec the
-    single-chip path gets (4.8× cheaper than the row matvec it replaces
-    in parallel/sharded.py).
+class EllDict(NamedTuple):
+    """Replicated block-ELL slot dictionary for the SHARDED solver.
 
-    Same contract as ``make_block_ell`` (drop-in for gn_solve_core's
-    ``ell_ctx``), with two sharding-specific differences:
-    * ``reduce_ell`` includes the cross-device ``psum`` — its result is
-      the GLOBAL block table, replicated;
-    * regularization contributions (replicated — every device computes
-      all of them) are pre-scaled by 1/n_devices inside the reducer so
-      the psum restores them exactly (n_devices is a power of two on
-      every real mesh, so the scale round-trips bit-exactly in f32).
-
-    Local keys that were dropped from the dictionary by the degree cap
-    simply match no slot (the reducer sums, per slot, the local
-    contributions whose key EQUALS the slot's key), so overflow behaves
-    exactly like the single-chip path: under-assembly, counted once,
-    globally, in the returned overflow.
+    Built OUTSIDE ``shard_map`` from the full (unsharded) coupling graph
+    by :func:`make_ell_dict` and passed into the sharded region as
+    replicated operands (``P()`` in_specs). This keeps every array
+    VMA-invariant inside ``shard_map`` — deriving the dictionary from an
+    in-region ``all_gather`` types it as device-varying, which poisons
+    the lax.cond freeze carries and forces ``check_vma=False`` (round-4
+    ADVICE/VERDICT #7); hoisting it restores the checker AND deletes the
+    per-solve all_gather.
     """
-    i32 = jnp.int32
-    n_dev = jax.lax.psum(1, axis_name)
 
-    # ---- global coupling keys (replicated after the gathers) ----------
-    nbr_all = jax.lax.all_gather(nbr_idx, axis_name, tiled=True)
-    cmask_all = jax.lax.all_gather(corr_mask, axis_name, tiled=True)
+    slot_key: jax.Array   # (M·D,) coupling key per slot (BIG = empty)
+    ell_nbr: jax.Array    # (M·D,) coupled node id per slot
+    self_ids: jax.Array   # (M,) slot of each diagonal block
+    present: jax.Array    # (M,) diagonal block exists
+    n_overflow: jax.Array  # degree-cap overflow over the GLOBAL graph
+
+
+def make_ell_dict(nbr_idx, corr_mask, pair_i, pair_j, pair_mask, M: int,
+                  D: int) -> EllDict:
+    """Slot dictionary from the FULL coupling graph (replicated work —
+    the graph is tiny, V·k int32 ≈ 400 KB at bench scale). Same
+    construction as ``make_block_ell``; see :class:`EllDict` for why it
+    lives outside the sharded region."""
+    i32 = jnp.int32
     k = nbr_idx.shape[1]
     a_g = jnp.concatenate(
-        [nbr_all[:, ka] for ka in range(k) for _ in range(k)]
+        [nbr_idx[:, ka] for ka in range(k) for _ in range(k)]
         + [pair_i, pair_i, pair_j, pair_j]
     ).astype(i32)
     b_g = jnp.concatenate(
-        [nbr_all[:, kb] for _ in range(k) for kb in range(k)]
+        [nbr_idx[:, kb] for _ in range(k) for kb in range(k)]
         + [pair_i, pair_j, pair_i, pair_j]
     ).astype(i32)
     valid_g = jnp.concatenate(
-        [jnp.tile(cmask_all, k * k), jnp.tile(pair_mask, 4)]
+        [jnp.tile(corr_mask, k * k), jnp.tile(pair_mask, 4)]
     )
     BIG = jnp.int32(M * M)  # M ≤ 46340 keeps M² in int32
     keys_g = jnp.where(valid_g, a_g * M + b_g, BIG)
     Tg = keys_g.shape[0]
 
-    # ---- slot dictionary (same construction as make_block_ell) --------
     sk = jnp.sort(keys_g)
     node = sk // M
     prev = jnp.concatenate([jnp.full((1,), -1, i32), sk[:-1]])
@@ -398,9 +389,43 @@ def make_block_ell_sharded(
         over, pos_c, axis=0
     )
     self_ids = jnp.minimum(jnp.take(ids_mono, pos_c, axis=0), M * D - 1)
-    # overflow is counted on the GLOBAL key multiset (replicated) —
-    # do NOT psum it again
+    # overflow is counted on the GLOBAL key multiset — do NOT psum it
     n_overflow = jnp.sum(over).astype(i32)
+    return EllDict(slot_key, ell_nbr, self_ids, present, n_overflow)
+
+
+def make_block_ell_sharded(
+    axis_name, ell_dict: EllDict, nbr_idx, corr_mask, pair_i, pair_j,
+    pair_mask, M: int,
+):
+    """Shard-aware block-ELL (round-3 verdict #6): each device reduces
+    its LOCAL contributions into the GLOBAL slots of ``ell_dict`` (built
+    outside the sharded region, replicated — see :class:`EllDict`) and
+    one ``psum`` of the (64, M·D) block table finishes the assembly, so
+    every CG iteration keeps the assembled-block matvec the single-chip
+    path gets (4.8× cheaper than the row matvec it replaces in
+    parallel/sharded.py).
+
+    Same contract as ``make_block_ell`` (drop-in for gn_solve_core's
+    ``ell_ctx``), with two sharding-specific differences:
+    * ``reduce_ell`` includes the cross-device ``psum`` — its result is
+      the GLOBAL block table, replicated;
+    * regularization contributions (replicated — every device computes
+      all of them) are pre-scaled by 1/n_devices inside the reducer so
+      the psum restores them exactly (n_devices is a power of two on
+      every real mesh, so the scale round-trips bit-exactly in f32).
+
+    Local keys that were dropped from the dictionary by the degree cap
+    simply match no slot (the reducer sums, per slot, the local
+    contributions whose key EQUALS the slot's key), so overflow behaves
+    exactly like the single-chip path: under-assembly, counted once,
+    globally, in ``ell_dict.n_overflow``.
+    """
+    i32 = jnp.int32
+    n_dev = jax.lax.psum(1, axis_name)
+    BIG = jnp.int32(M * M)
+    slot_key = ell_dict.slot_key
+    k = nbr_idx.shape[1]
 
     # ---- local contribution keys, in gn_solve_core's enumeration order
     # (chunk-major (ka, kb) data chunks over the LOCAL vertex shard, then
@@ -441,7 +466,8 @@ def make_block_ell_sharded(
         )
         return jax.lax.psum(part, axis_name)
 
-    return reduce_ell, ell_nbr, self_ids, present, n_overflow
+    return (reduce_ell, ell_dict.ell_nbr, ell_dict.self_ids,
+            ell_dict.present, ell_dict.n_overflow)
 
 
 ELL_DEGREE_CAP = 24  # 2× the measured bench max coupling degree (12)
@@ -750,6 +776,15 @@ def gn_solve_core(
                 return Bl_n, blk_n
 
             if freeze_frac > 0.0:
+                # INVARIANT (sharded path): this predicate must remain
+                # REPLICATED across devices — `e` and `e_asm` derive from
+                # psum'd energies, so every device takes the same branch.
+                # That is what makes the cond deadlock-free: assemble()
+                # calls reduce_ell, which under a make_block_ell_sharded
+                # ctx performs a lax.psum; a per-device predicate would
+                # have some devices enter the collective and others not
+                # (hang/corruption). Keep any future predicate a function
+                # of psum'd (replicated) values only. (ADVICE r4)
                 fresh = e < (1.0 - freeze_frac) * e_asm
                 Bl, blk, e_asm = jax.lax.cond(
                     fresh,
@@ -900,6 +935,11 @@ def gn_solve_core(
 
     def gn_step(carry, _):
         x, e, act, dmp, Bl_c, blk_c, e_asm = carry
+        # `act` must remain REPLICATED under shard_map (it derives from
+        # psum'd energies via the ftol test below): run_step may execute
+        # a collective (reduce_ell's psum in the sharded ctx, and the
+        # psum'd rhs/energy reductions), so a per-device predicate would
+        # deadlock. See the matching invariant note at the freeze cond.
         x2, e2, dmp2, Bl2, blk2, e_asm2, fresh = jax.lax.cond(
             act,
             run_step,
