@@ -82,7 +82,8 @@ def main():
     out = fusion_frame(values, weights, lives[0], wf, lw, canon_mesh=None,
                        **hyper0)
     _ = float(out[4].cost_after[-1])
-    out = fusion_frame(*out[:4], lives[0], canon_mesh=out[5], **hyper0)
+    out = fusion_frame(out[0], out[1], lives[0], out[2], out[3],
+                       canon_mesh=out[5], **hyper0)
     _ = float(out[4].cost_after[-1])
     state0 = (*out[:4], out[5])
     print(f"# setup+warmup {time.time()-t0:.0f}s", flush=True)
