@@ -19,13 +19,15 @@ chain measures true per-frame device throughput:
     per_frame = (T(K frames + fetch) − T(1 frame + fetch)) / (K − 1).
 
 The run also self-checks accuracy: the throughput approximations
-(hardware approx kNN, cached-candidate correspondence reuse, cg_iters=16,
-2-level brick pools) are validated in-run against the conservative exact
-path (fresh exact kNN per round, cg_iters=32, flat per-brick candidates)
-— the fused TSDF volumes must agree to a small fraction of the truncation
-band, the fast arm's final solve cost must match the exact arm's, and the
-fast arm's own conservative risk certificates must hold, so the headline
-number cannot silently come from looser knobs (the JSON line carries the
+(hardware approx kNN, cached-candidate correspondence reuse, the shallow
+gn=4/cg=12 solver schedule, 2-level brick pools) are validated in-run
+against TWO conservative exact arms — a matched-depth arm (fresh exact
+kNN per round, cg_iters=32, flat per-brick candidates) whose fused TSDF
+volume must agree to a small fraction of the truncation band, and a
+PINNED scipy-grade arm (gn=8, cg=32, independent of the fast knobs)
+whose common-objective tracking cost the fast arm must match — plus the
+fast arm's own conservative risk certificates, so the headline number
+cannot silently come from looser knobs (the JSON line carries the
 measured deviations).
 
 Baseline (BASELINE.md): the reference prototype's best combined frame is
@@ -99,9 +101,17 @@ def main():
         trilerp_bricks_supported,
     )
 
+    # Solver depth gn=6/cg=12 per the round-5 pinned-exact-arm sweep
+    # (tools/sweep_solver5.py): vs the FIXED scipy-grade arm (gn=8,
+    # cg=32, fresh exact correspondences) the common-objective cost
+    # ratio stays below 1 on forward frames (0.940 measured) and the
+    # schedule keeps enough depth to hold the ratio gate on the
+    # large-motion rewind frame the accuracy cross-check uses (gn=4
+    # measured 548.5 ms but slipped to ratio 1.47 there, passing only
+    # via the slack arm).
     hyper = dict(
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
-        solve_iters=3, gn_iters=8, cg_iters=16, tolerance=5.0,
+        solve_iters=3, gn_iters=6, cg_iters=12, tolerance=5.0,
         n_candidates=16,
         approx_knn=jax.default_backend() == "tpu",
         use_pallas=(jax.default_backend() == "tpu"
@@ -169,10 +179,11 @@ def main():
 
     # ---- accuracy cross-check: approximation knobs vs the exact path.
     # Same start state, SAME model hyperparameters (tolerance etc.) — the
-    # exact arm (fresh exact kNN per solve round, cg_iters=32, flat
-    # per-brick node candidates) differs only in the approximations the
-    # fast path takes (hardware approx kNN, certificate-steered cached-
-    # candidate reuse, cg_iters=16, 2-level brick pools), so the headline
+    # exact arms (fresh exact kNN per solve round, cg_iters=32, flat
+    # per-brick node candidates; one matched-depth, one pinned at
+    # gn=8) differ only in the approximations the fast path takes
+    # (hardware approx kNN, certificate-steered cached-candidate reuse,
+    # the gn=4/cg=12 schedule, 2-level brick pools), so the headline
     # speed cannot silently come from loosened knobs.
     # Three gates (re-derived round 4, tools/diag_gate.py):
     # 1. surface agreement: p99.9 of |Δtsdf| < 0.5 voxel — sub-voxel
@@ -200,15 +211,29 @@ def main():
     #    candidate drift after certificate-steered refresh) must stay
     #    within documented bounds — the bench fails if the
     #    approximations it relies on stop certifying.
+    # Two exact arms so neither gate can be gamed by the fast knobs:
+    # - exact_same shares the fast arm's GN/relaxation schedule and
+    #   differs ONLY in the approximations (exact kNN, fresh
+    #   correspondences, flat candidates, cg=32) — gate 1 (surface
+    #   agreement) isolates approximation error at matched depth.
+    # - exact_deep is PINNED at the scipy-grade depth (gn=8, cg=32)
+    #   independent of the fast knobs — gate 2 (tracking quality on the
+    #   common objective) compares against a fixed-quality reference,
+    #   so lowering the fast arm's gn_iters cannot drag the reference
+    #   down with it (round-5 sweep design, tools/sweep_solver5.py).
     exact_hyper = dict(hyper)
     exact_hyper.update(cg_iters=32, approx_knn=False, use_grid_corr=False,
                        reuse_corr=False, exact_candidates=True)
+    deep_hyper = dict(exact_hyper, gn_iters=8)
     values0, weights0, wf0, lw0, mesh0 = state
 
     out_f = fusion_frame(values0, weights0, lives[0], wf0, lw0,
                          canon_mesh=mesh0, **hyper)
     out_e = fusion_frame(values0, weights0, lives[0], wf0, lw0,
                          canon_mesh=mesh0, **exact_hyper)
+    out_d = (out_e if deep_hyper == exact_hyper else
+             fusion_frame(values0, weights0, lives[0], wf0, lw0,
+                          canon_mesh=mesh0, **deep_hyper))
     v_fast, v_exact = out_f[0], out_e[0]
 
     # common-objective tracking energy (gate 2): huberized point-plane
@@ -254,7 +279,7 @@ def main():
 
     cost_pre = float(track_energy(wf0.node_dq, lw0))
     cost_f = float(track_energy(out_f[2].node_dq, out_f[3]))
-    cost_e = float(track_energy(out_e[2].node_dq, out_e[3]))
+    cost_e = float(track_energy(out_d[2].node_dq, out_d[3]))
     adiff = jnp.abs(v_fast - v_exact)
     dev99 = float(jnp.percentile(adiff, 99.9))
     devmax = float(jnp.max(adiff))

@@ -220,6 +220,9 @@ def marching_cubes(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     with_normals: bool = True,
+    cell_x_lo=None,
+    cell_x_hi=None,
+    x_index_offset=None,
 ):
     """Extract the ``level`` isosurface of ``vol`` (X,Y,Z).
 
@@ -248,12 +251,39 @@ def marching_cubes(
     ~45 ms at 256³ (docs/tpu_kernel_notes.md), which is most of the MC
     cost for consumers that only need vertex positions (e.g. the fused
     frame's live correspondence targets, pipeline/frame.py).
+
+    ``cell_x_lo`` / ``cell_x_hi`` (optional, traced int32 scalars):
+    x-slab ownership bounds for the SHARDED extraction
+    (parallel/mc_sharded.py). When given, only cells with x index in
+    [lo, hi) emit triangles, only x-axis edges with base x in [lo, hi)
+    and y/z-axis edges with base x in [lo, hi] emit vertices — exactly
+    the edge set the owned cells reference, so every face index stays
+    valid. ``vol`` is then the slab EXTENDED with halo planes; the
+    normals' gradient sees the halos, so boundary normals match the
+    unsharded extraction. Counts cover only the owned slab.
+
+    ``x_index_offset`` (optional, traced int32): added to each vertex's
+    integer x lattice index BEFORE the interpolation parameter, so slab
+    extractions produce BIT-IDENTICAL global coordinates to the
+    unsharded op (adding the offset after assembly double-rounds).
     """
     del cell_cap  # legacy knob: compaction no longer needs a cell list
     if step_size > 1:
         vol = vol[::step_size, ::step_size, ::step_size]
     X, Y, Z = vol.shape
     nxyz = X * Y * Z
+
+    slab = cell_x_lo is not None
+    if slab:
+        _lo = jnp.asarray(cell_x_lo, jnp.int32)
+        _hi = jnp.asarray(cell_x_hi, jnp.int32)
+        _ix = jnp.arange(X, dtype=jnp.int32)
+        _xedge_ok = (_ix >= _lo) & (_ix < _hi)   # x-edges: base in [lo,hi)
+        _yzedge_ok = (_ix >= _lo) & (_ix <= _hi)  # y/z-edges: [lo,hi]
+
+        def _mask_x_rows(flat, ok, rows):
+            a2 = flat.reshape(rows, -1)
+            return jnp.where(ok[:rows, None], a2, 0).reshape(-1)
 
     from .mc_pallas import mc_case_cross, mc_frontend_supported
 
@@ -285,12 +315,23 @@ def marching_cubes(
             ((fused >> (8 + a)) & 1).astype(jnp.int8).reshape(-1)
             for a in range(3)
         ]
+        if slab:
+            fmask8 = [
+                _mask_x_rows(m, _xedge_ok if a == 0 else _yzedge_ok, X)
+                for a, m in enumerate(fmask8)
+            ]
         flat_mask = jnp.concatenate(fmask8)
         vranks = _Ranks(flat_mask, 256)
     else:
-        crosses = [axis_cross(a) for a in range(3)]
-        flat_mask = jnp.concatenate([c.reshape(-1) for c in crosses])
-        vranks = _Ranks(flat_mask.astype(jnp.int8), 256)
+        crosses = [c.astype(jnp.int8).reshape(-1)
+                   for c in (axis_cross(a) for a in range(3))]
+        if slab:
+            crosses = [
+                _mask_x_rows(m, _xedge_ok if a == 0 else _yzedge_ok, X)
+                for a, m in enumerate(crosses)
+            ]
+        flat_mask = jnp.concatenate(crosses)
+        vranks = _Ranks(flat_mask, 256)
     n_verts = vranks.total
 
     vslots = jnp.arange(vert_cap, dtype=jnp.int32)
@@ -314,6 +355,8 @@ def marching_cubes(
     et = jnp.where(
         jnp.abs(denom) > 1e-30, (vlo - level) / denom, 0.5
     )
+    if x_index_offset is not None:
+        ei = ei + jnp.asarray(x_index_offset, jnp.int32)
     vx = ei.astype(jnp.float32) + jnp.where(ea == 0, et, 0.0)
     vy = ej.astype(jnp.float32) + jnp.where(ea == 1, et, 0.0)
     vz = ek.astype(jnp.float32) + jnp.where(ea == 2, et, 0.0)
@@ -339,6 +382,8 @@ def marching_cubes(
                 << b
             )
         case_flat = case.reshape(-1)
+    if slab:
+        case_flat = _mask_x_rows(case_flat, _xedge_ok, cx)
     ntris = _ntris_chunked(case_flat)
     # int8 rows: ntris <= 5, and the emission row-gathers below move 4x
     # fewer bytes than i32 rows
