@@ -469,4 +469,9 @@ def marching_cubes(
         "n_verts": jnp.minimum(n_verts, vert_cap),
         "n_faces": jnp.minimum(n_faces, face_cap),
         "overflow": (n_verts > vert_cap) | (n_faces > face_cap),
+        # lattice-edge identity of each vertex slot (axis, x index —
+        # AFTER x_index_offset): free here, and the sharded extraction
+        # needs them to mark seam-duplicate copies (parallel/mc_sharded)
+        "edge_axis": jnp.where(vmask0, ea, 0).astype(jnp.int32),
+        "edge_x": jnp.where(vmask0, ei, 0).astype(jnp.int32),
     }

@@ -1,0 +1,465 @@
+"""The COMPLETE DynamicFusion frame over a device mesh.
+
+Round-4 verdict, missing #1: three kernels sharded (fuse, rigid/non-rigid
+update, GN solve) but no frame could run multi-chip because surface
+extraction and correspondence search were single-device. This module
+composes ALL six per-frame stages of the reference flow
+(/root/reference/test.py:104-138 — live extraction, correspondence
+search, rigid presolve, relaxed non-rigid GN rounds, non-rigid TSDF
+fusion, deformation-graph maintenance) into one jitted SPMD program:
+
+* the canonical volume is sharded along x (parallel/mesh.py layout); the
+  live volume, node pool, pose, and reg-pair lists are replicated;
+* both surfaces extract per-slab (parallel/mc_sharded.py) — canonical
+  from the sharded volume with ppermute halos, live from the replicated
+  volume with local slicing; canonical VERTICES stay sharded (per-device
+  blocks) and feed the vertex-sharded GN data term directly, while live
+  vertices are all-gathered (a few MB — correspondence targets must be
+  globally searchable);
+* correspondence candidates + per-round re-ranking run on each device's
+  canonical vertex shard against the replicated live set; the cached-
+  candidate drift certificate is psum'd so the certificate-steered
+  refresh (pipeline/frame.py CORR_REFRESH_FRAC) takes the SAME branch on
+  every device;
+* the rigid presolve psums its 8×8 normal system (solvers/rigid.py
+  ``solve_rigid_core``); the non-rigid rounds run ``gn_solve_core`` with
+  the psum hook and the shard-aware block-ELL (slot dictionary built
+  OUTSIDE the sharded region from the global sparsity — see
+  solvers.nonrigid.EllDict);
+* the TSDF update runs per-slab WITH the per-voxel material pool
+  certificate (the caches are built in-region at each device's
+  x_offset, so the sharded path reports the same per-voxel ``pool_risk``
+  semantics as the single-chip pipeline — round-4 ADVICE #3);
+* graph maintenance (node insertion) runs replicated on the gathered
+  canonical surface — the node pool is tiny and replicated by design,
+  and the greedy radius subsample is order-sequential, so every device
+  computes the identical insertion.
+
+COLLECTIVE-IN-COND INVARIANT: every ``lax.cond``/scan predicate inside
+the sharded regions derives from psum'd (replicated) quantities — the
+correspondence-refresh risk, the relaxation energies, the LM acceptance
+energies — because several branches contain collectives (psum'd
+reductions); a per-device-varying predicate would deadlock. shard_map's
+VMA checker (check_vma, on by default) enforces this mechanically.
+
+Differences from the single-chip ``pipeline.frame.fusion_frame`` (both
+loud, neither silent):
+* vertex ORDER is per-slab, not global-compaction order — greedy node
+  insertion can tie-break differently, so cross-path equivalence is
+  geometric, not bitwise;
+* the TSDF-update caches are rebuilt every frame (cheap: the build is
+  sharded too) instead of threaded through the mesh dict.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import warp_field as WF
+from ..pipeline.correspondence import (
+    closest_point_correspondences,
+    correspondence_candidates,
+    correspondences_from_candidates,
+)
+from ..pipeline.frame import CORR_REFRESH_FRAC, FrameStats, _blend_weights
+from ..solvers.nonrigid import (
+    ELL_DEGREE_CAP,
+    EllDict,
+    gn_solve_core,
+    make_block_ell_sharded,
+    make_ell_dict,
+    make_reg_pairs,
+    make_solver_ctx,
+    relaxation_step,
+)
+from ..solvers.rigid import solve_rigid_core
+from .mc_sharded import mc_local_slab
+from .mesh import VOXEL_AXIS
+
+
+def _make_extract_canon(mesh: Mesh, vert_cap, face_cap, mc_step):
+    axis = VOXEL_AXIS
+    n_dev = mesh.shape[axis]
+
+    def _extract_canon(values):
+        m = mc_local_slab(
+            values, axis, n_dev, vert_cap=vert_cap, face_cap=face_cap,
+            step_size=mc_step, with_normals=True,
+        )
+        idx = jax.lax.axis_index(axis)
+        fvalid = jnp.arange(face_cap) < m["n_faces"]
+        faces = jnp.where(fvalid[:, None], m["faces"] + idx * vert_cap, 0)
+        vvalid = jnp.arange(vert_cap) < m["n_verts"]
+        return (
+            m["verts"], m["normals"], faces, vvalid, m["vert_owned"],
+            jax.lax.psum(m["vert_owned"].astype(jnp.int32).sum(), axis),
+            jax.lax.psum(m["n_faces"], axis),
+            jax.lax.psum(m["overflow"].astype(jnp.int32), axis) > 0,
+        )
+
+    return shard_map(
+        _extract_canon, mesh=mesh, in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P(), P()),
+    )
+
+
+def make_init_canonical_sharded(
+    mesh: Mesh,
+    *,
+    subsample_rate: float = 5.0,
+    node_cap: int = 2048,
+    vert_cap: int = 1 << 13,
+    face_cap: int = 1 << 14,
+    mc_step: int = 3,
+):
+    """Canonical-space init in the SHARDED vertex layout.
+
+    ``wf.node_vert_idx`` anchors nodes to vertex ROWS of the mesh they
+    were built from — the sharded frame enumerates vertices per-slab,
+    NOT in the single-chip compaction order, so a warp field initialized
+    by ``pipeline.frame.init_canonical`` must not be fed to
+    ``make_fusion_frame_sharded``'s frame (its anchors would gather
+    wrong kNN rows and the reg term would couple random nodes). Same
+    construction as init_canonical (reference core/fusion.py:89-92), on
+    the sharded extraction. Returns jitted (values,) → (wf, radius).
+    """
+    extract_canon = _make_extract_canon(mesh, vert_cap, face_cap, mc_step)
+
+    @jax.jit
+    def init(values):
+        (verts, _n, faces, _vv, owned, _no, n_faces, _ov) = (
+            extract_canon(values)
+        )
+        tri = jnp.take(verts, faces.reshape(-1), axis=0).reshape(-1, 3, 3)
+        e = (
+            jnp.linalg.norm(tri[:, 0] - tri[:, 1], axis=1)
+            + jnp.linalg.norm(tri[:, 0] - tri[:, 2], axis=1)
+            + jnp.linalg.norm(tri[:, 1] - tri[:, 2], axis=1)
+        ) / 3.0
+        # invalid face slots reference vertex 0 three times → e = 0
+        radius = subsample_rate * jnp.sum(e) / jnp.maximum(n_faces, 1)
+        wf = WF.construct_graph(verts, radius, node_cap, valid=owned)
+        return wf, radius
+
+    return init
+
+
+def make_fusion_frame_sharded(
+    mesh: Mesh,
+    *,
+    regularization_weight: float = 0.5,
+    knn_k: int = 4,
+    tdist: float = 0.2,
+    wmax: float = 100.0,
+    vert_cap: int = 1 << 13,
+    face_cap: int = 1 << 14,
+    live_vert_cap: int | None = None,
+    live_face_cap: int | None = None,
+    mc_step: int = 3,
+    solve_iters: int = 3,
+    gn_iters: int = 8,
+    cg_iters: int = 16,
+    ftol: float = 1e-5,
+    tolerance: float = 0.2,
+    brick: int = 8,
+    n_candidates: int = 16,
+    update_graph: bool = True,
+    approx_knn: bool = False,
+    reuse_corr: bool = True,
+):
+    """Build the jitted sharded frame. ``vert_cap``/``live_vert_cap`` are
+    PER-DEVICE caps (must cover the largest slab's surface). Returns
+
+        frame(values, weights, live, wf, lw_dq)
+            → (values', weights', wf', lw', FrameStats, mesh_out)
+
+    with values/weights sharded along x, live/wf/lw replicated, and
+    mesh_out the sharded canonical mesh dict (verts/normals/faces/
+    vert_valid/vert_owned + counts) extracted AFTER fusion.
+    """
+    if live_vert_cap is None:
+        live_vert_cap = vert_cap
+    if live_face_cap is None:
+        live_face_cap = face_cap
+    axis = VOXEL_AXIS
+    n_dev = mesh.shape[axis]
+    kc = max(4 * knn_k, 16)
+
+    wf_spec = WF.WarpField(
+        node_pos=P(), node_dq=P(), node_w=P(), node_vert_idx=P(),
+        active=P(), radius=P(),
+    )
+
+    # ---------------- section A: surface extraction ----------------
+    extract_canon = _make_extract_canon(mesh, vert_cap, face_cap, mc_step)
+
+    def _extract_live(live):
+        m = mc_local_slab(
+            live, axis, n_dev, vert_cap=live_vert_cap,
+            face_cap=live_face_cap, step_size=1, with_normals=False,
+            replicated_vol=True,
+        )
+        lvalid = jnp.arange(live_vert_cap) < m["n_verts"]
+        return (
+            m["verts"], lvalid,
+            jax.lax.psum(m["overflow"].astype(jnp.int32), axis) > 0,
+        )
+
+    extract_live = shard_map(
+        _extract_live, mesh=mesh, in_specs=(P(),),
+        out_specs=(P(axis), P(axis), P()),
+    )
+
+    # ---------------- section C: presolve + GN rounds ----------------
+    def _solve_local(
+        wf, lw_dq, rw0, verts, normals, owned, nbr_idx, blend_wts,
+        lverts, lvalid, pair_i, pair_j, pair_v, base_scale, pmask0,
+        ell_dict,
+    ):
+        psum = lambda x: jax.lax.psum(x, axis)  # noqa: E731
+        i32 = jnp.int32
+
+        wv0 = WF.warp_points(wf, verts, nbr_idx, m_lw=lw_dq)
+        cand_risk = i32(0)
+        if reuse_corr:
+            cand_idx, d_kc, cr = correspondence_candidates(
+                wv0, owned, lverts, lvalid, kc=kc, approx=approx_knn
+            )
+            cand_risk = psum(jnp.asarray(cr, i32))
+            n_valid0 = psum(owned.astype(i32).sum())
+            risk_cap = jnp.maximum(
+                (CORR_REFRESH_FRAC * n_valid0).astype(i32), 8
+            )
+
+            def correspondences(wf_, lw_):
+                wv, wn = WF.warp_points(
+                    wf_, verts, nbr_idx, normals=normals, m_lw=lw_
+                )
+                c, v, bc, risk_l = correspondences_from_candidates(
+                    wv, wn, owned, lverts, lvalid, cand_idx, d_kc, wv0,
+                    knn_k, tolerance,
+                )
+                risk = psum(risk_l)
+
+                def fresh(_):
+                    c2, v2, bc2 = closest_point_correspondences(
+                        wv, wn, owned, lverts, lvalid, knn_k, tolerance,
+                        approx=approx_knn,
+                    )
+                    return c2, v2, bc2, i32(0), i32(1)
+
+                def keep(_):
+                    return c, v, bc, risk, i32(0)
+
+                # predicate is psum'd (replicated) — branches run under
+                # every device in lockstep; see module docstring
+                return jax.lax.cond(risk > risk_cap, fresh, keep, None)
+        else:
+
+            def correspondences(wf_, lw_):
+                wv, wn = WF.warp_points(
+                    wf_, verts, nbr_idx, normals=normals, m_lw=lw_
+                )
+                c, v, bc = closest_point_correspondences(
+                    wv, wn, owned, lverts, lvalid, knn_k, tolerance,
+                    approx=approx_knn,
+                )
+                return c, v, bc, i32(0), i32(0)
+
+        # rigid presolve: psum'd 8×8 normal system
+        corr, cvalid, _, risk0, refresh0 = correspondences(wf, lw_dq)
+        pv, pn = WF.warp_points(wf, verts, nbr_idx, normals=normals)
+        lw_dq, _ = solve_rigid_core(
+            lw_dq, pv, pn, corr, cvalid, iterations=12, reduce=psum
+        )
+        n_corr0 = psum(cvalid.astype(i32).sum())
+
+        # frame-constant local reducers + the GLOBAL block-ELL (slot
+        # dictionary replicated, assembly psum'd)
+        M = wf.node_dq.shape[0]
+        solver_ctx = make_solver_ctx(
+            nbr_idx, owned, pair_i, pair_j, pmask0, M,
+            dense_pairs=True, with_ell=False,
+        )
+        ell_ctx = make_block_ell_sharded(
+            axis, ell_dict, nbr_idx, owned, pair_i, pair_j, pmask0, M
+        )
+
+        def round_fn(carry, it):
+            node_dq, lw_, rw, act, dmp = carry
+
+            def run(args):
+                node_dq, lw_, rw, dmp = args
+                corr_, cval_, _, risk_, refresh_ = correspondences(
+                    wf.replace(node_dq=node_dq), lw_
+                )
+                pair_scale = rw * base_scale
+                data_args = (verts, normals, corr_, cval_, nbr_idx,
+                             blend_wts)
+                reg_args = (pair_i, pair_j, pair_v, pair_scale, pmask0)
+                new_dq, cb, cbh, ca, dmp_new, ellov = gn_solve_core(
+                    node_dq, data_args, reg_args, lw_,
+                    gn_iters, cg_iters, 1e-4, ftol, psum,
+                    dense_pairs=True,
+                    damping_init=jnp.minimum(dmp, jnp.float32(1e-2)),
+                    solver_ctx=solver_ctx, ell_ctx=ell_ctx,
+                )
+                return new_dq, cb, cbh, ca, risk_, refresh_, dmp_new, ellov
+
+            def skip(args):
+                node_dq, _, _, dmp = args
+                return (node_dq, jnp.float32(0.0), jnp.float32(0.0),
+                        jnp.float32(0.0), i32(0), i32(0), dmp, i32(0))
+
+            # act derives from psum'd energies (replicated) and the run
+            # branch contains collectives — the invariant that keeps
+            # this deadlock-free; check_vma verifies it
+            node_dq, cb, cbh, ca, risk_, refresh_, dmp, ellov = (
+                jax.lax.cond(act, run, skip, (node_dq, lw_, rw, dmp))
+            )
+            relax, rw_next = relaxation_step(cb, ca, rw)
+            rw = jnp.where(act, rw_next, rw)
+            act = act & relax
+            return (node_dq, lw_, rw, act, dmp), (cb, cbh, ca, risk_,
+                                                  refresh_, ellov)
+
+        (node_dq, lw_dq, _, _, _), (cbs, cbhs, cas, risks, refreshes,
+                                    ellovs) = jax.lax.scan(
+            round_fn,
+            (wf.node_dq, lw_dq, jnp.asarray(rw0, jnp.float32),
+             jnp.bool_(True), jnp.float32(1e-4)),
+            jnp.arange(solve_iters),
+        )
+        corr_risk = cand_risk + risk0 + jnp.sum(risks)
+        corr_refresh = refresh0 + jnp.sum(refreshes)
+        return (node_dq, lw_dq, cbs, cbhs, cas, n_corr0, corr_risk,
+                corr_refresh, jnp.sum(ellovs))
+
+    solve_stage = shard_map(
+        _solve_local,
+        mesh=mesh,
+        in_specs=(
+            wf_spec, P(), P(),                      # wf, lw, rw0
+            P(axis), P(axis), P(axis), P(axis), P(axis),  # canon mesh
+            P(), P(),                                # live verts/mask
+            P(), P(), P(), P(), P(),                 # reg pairs
+            EllDict(*(P(),) * 5),
+        ),
+        out_specs=(P(),) * 9,
+    )
+
+    # ---------------- section D: sharded TSDF update ----------------
+    def _update_local(values, weights, live, wf, lw_dq):
+        idx = jax.lax.axis_index(axis)
+        x0 = idx * values.shape[0]
+        shape = values.shape
+        C = n_candidates
+        cand, r_pool = WF.brick_candidates_2level(
+            wf, shape, brick, C, x_offset=x0, with_pool=True
+        )
+        if r_pool is None:
+            # slab not s-tileable: flat (exact) per-brick candidates
+            cand = WF.brick_candidates(wf, shape, brick, C, x_offset=x0)
+            warp_cache = WF.build_warp_cache(
+                wf, shape, cand, knn_k, brick, x_offset=x0
+            )
+            risk = jnp.int32(0)
+        else:
+            sel, selw, wi, risk = WF.build_warp_cache(
+                wf, shape, cand, knn_k, brick, x_offset=x0,
+                pool_ctx=r_pool,
+            )
+            warp_cache = (sel, selw, wi)
+        v, w, esc, prisk = WF.update_tsdf_nonrigid(
+            values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist,
+            wmax=wmax, brick=brick, n_candidates=C, x_offset=x0,
+            cand_cache=(cand, risk), warp_cache=warp_cache,
+        )
+        return (v, w, jax.lax.psum(esc, axis), jax.lax.psum(prisk, axis))
+
+    update_stage = shard_map(
+        _update_local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), wf_spec, P()),
+        out_specs=(P(axis), P(axis), P(), P()),
+    )
+
+    @jax.jit
+    def frame(values, weights, live, wf, lw_dq):
+        M = wf.node_dq.shape[0]
+
+        # A. surfaces
+        (cverts, cnormals, _cfaces, _cvalid, cowned, n_owned, _nf,
+         cov) = extract_canon(values)
+        lverts, lvalid, lov = extract_live(live)
+
+        # B. frame-constant solver plumbing on the GLOBAL sparsity —
+        # plain pjit ops (XLA gathers the small vertex tables as
+        # needed); the slot dictionary must be built outside shard_map
+        # so it enters the sharded solve replicated (EllDict docstring)
+        nbr_idx = WF.neighbor_lookup(wf, cverts, knn_k)
+        blend_wts = _blend_weights(wf, cverts, nbr_idx)
+        pair_i, pair_j, _, pmask0 = make_reg_pairs(
+            wf.node_vert_idx, nbr_idx, wf.node_w, wf.active,
+            jnp.float32(1.0),
+        )
+        pair_v = jnp.take(wf.node_pos, pair_j, axis=0)
+        wi_ = jnp.take(wf.node_w, pair_i, axis=0)
+        wj_ = jnp.take(wf.node_w, pair_j, axis=0)
+        base_scale = jnp.maximum(wi_, wj_)
+        ell_dict = make_ell_dict(
+            nbr_idx, cowned, pair_i, pair_j, pmask0, M, ELL_DEGREE_CAP
+        )
+
+        # C. presolve + relaxed GN rounds
+        (node_dq, lw_dq, cbs, cbhs, cas, n_corr0, corr_risk,
+         corr_refresh, ell_ov) = solve_stage(
+            wf, lw_dq, jnp.float32(regularization_weight),
+            cverts, cnormals, cowned, nbr_idx, blend_wts,
+            lverts, lvalid, pair_i, pair_j, pair_v, base_scale, pmask0,
+            ell_dict,
+        )
+        wf = wf.replace(node_dq=node_dq)
+
+        # D. fusion
+        values, weights, esc_dropped, pool_risk = update_stage(
+            values, weights, live, wf, lw_dq
+        )
+
+        # E. canonical re-extraction + graph maintenance (replicated —
+        # the node pool is tiny; vertex order is per-slab, see module
+        # docstring)
+        (verts2, normals2, faces2, vvalid2, owned2, n_owned2, nf2,
+         cov2) = extract_canon(values)
+        n_dropped = jnp.int32(0)
+        if update_graph:
+            wf, n_dropped = WF.update_graph(wf, verts2, owned2, knn_k)
+
+        mesh_out = {
+            "verts": verts2, "normals": normals2, "faces": faces2,
+            "vert_valid": vvalid2, "vert_owned": owned2,
+            "n_verts": n_owned2, "n_faces": nf2, "overflow": cov2,
+        }
+        stats = FrameStats(
+            cost_before=cbs,
+            cost_after=cas,
+            cost_before_h=cbhs,
+            n_corr=n_corr0,
+            n_nodes=wf.num_active,
+            n_verts=n_owned2,
+            overflow=(cov | cov2 | lov | (n_dropped > 0)
+                      | (esc_dropped > 0)),
+            pool_risk=pool_risk,
+            corr_risk=corr_risk,
+            corr_refresh=corr_refresh,
+            ell_overflow=ell_ov,
+        )
+        return values, weights, wf, lw_dq, stats, mesh_out
+
+    return frame

@@ -144,7 +144,15 @@ def mc_local_slab(
     verts = m["verts"]
     if step_size > 1:
         verts = verts * step_size
-    return dict(m, verts=verts)
+    # OWNERSHIP mask (no seam duplicates): y/z-edge vertices on the
+    # right seam plane x = x0+S are also emitted by device d+1 (as its
+    # left boundary) — drop THIS device's copy from `owned` so sums over
+    # owned vertices (GN data term, counts, node sampling) see each
+    # surface vertex exactly once. Faces keep indexing the local copy.
+    vmask = jnp.arange(vert_cap) < m["n_verts"]
+    seam = (m["edge_axis"] != 0) & (m["edge_x"] == (idx + 1) * S)
+    owned = vmask & ~(seam & ~is_last)
+    return dict(m, verts=verts, vert_owned=owned)
 
 
 def marching_cubes_sharded(
@@ -164,8 +172,13 @@ def marching_cubes_sharded(
       faces      (n_dev·face_cap, 3) sharded  — GLOBAL vertex indices
       vert_valid (n_dev·vert_cap,)   sharded  — per-device validity holes
       face_valid (n_dev·face_cap,)   sharded
+      vert_owned (n_dev·vert_cap,)   sharded  — vert_valid MINUS seam
+                 duplicates: each surface vertex owned by exactly one
+                 device. Sums/energies over vertices use this; face
+                 geometry uses vert_valid.
       n_verts, n_faces (replicated int32 — n_verts counts seam
                         duplicates, see module docstring)
+      n_owned    (replicated int32 — equals the single-chip n_verts)
       overflow   (replicated bool)
     """
     n_dev = mesh.shape[VOXEL_AXIS]
@@ -182,8 +195,12 @@ def marching_cubes_sharded(
         faces = jnp.where(fvalid[:, None], m["faces"] + idx * vert_cap, 0)
         return (
             m["verts"], m["normals"], faces, vvalid, fvalid,
+            m["vert_owned"],
             jax.lax.psum(m["n_verts"], VOXEL_AXIS),
             jax.lax.psum(m["n_faces"], VOXEL_AXIS),
+            jax.lax.psum(
+                m["vert_owned"].astype(jnp.int32).sum(), VOXEL_AXIS
+            ),
             jax.lax.psum(m["overflow"].astype(jnp.int32), VOXEL_AXIS) > 0,
         )
 
@@ -193,17 +210,17 @@ def marching_cubes_sharded(
         in_specs=(P(VOXEL_AXIS),),
         out_specs=(
             P(VOXEL_AXIS), P(VOXEL_AXIS), P(VOXEL_AXIS), P(VOXEL_AXIS),
-            P(VOXEL_AXIS), P(), P(), P(),
+            P(VOXEL_AXIS), P(VOXEL_AXIS), P(), P(), P(), P(),
         ),
     )
 
     @jax.jit
     def run(vol):
-        v, n, f, vv, fv, nv, nf, ov = fn(vol)
+        v, n, f, vv, fv, vo, nv, nf, no, ov = fn(vol)
         return {
             "verts": v, "normals": n, "faces": f, "vert_valid": vv,
-            "face_valid": fv, "n_verts": nv, "n_faces": nf,
-            "overflow": ov,
+            "face_valid": fv, "vert_owned": vo, "n_verts": nv,
+            "n_faces": nf, "n_owned": no, "overflow": ov,
         }
 
     return run

@@ -31,6 +31,54 @@ def p2s_residuals(lw_dq, pts, normals, corrs, mask):
     return jnp.where(mask, r, 0.0)
 
 
+def _ident(x):
+    return x
+
+
+def solve_rigid_core(
+    lw_dq: jax.Array,
+    pts: jax.Array,
+    normals: jax.Array,
+    corrs: jax.Array,
+    mask: jax.Array,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    reduce=_ident,
+):
+    """Gauss-Newton on the 8-dof DQ pose. Returns (lw_dq, cost).
+
+    ``reduce`` is applied to every over-points reduction (the 8×8 JᵀJ,
+    JᵀR, and the acceptance energies) — identity single-chip,
+    ``lax.psum`` over the vertex-sharded mesh axis in
+    parallel/frame_sharded.py. All solver state (the 8-vector pose and
+    the tiny normal system) stays replicated.
+    """
+
+    def resid(x):
+        return p2s_residuals(x, pts, normals, corrs, mask)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(x, _):
+        r = resid(x)
+        J = jax.jacfwd(resid)(x)  # (V, 8)
+        JtJ = reduce(jnp.dot(J.T, J, precision=hi))
+        Jtr = reduce(jnp.dot(J.T, r, precision=hi))
+        A = JtJ + damping * jnp.eye(8, dtype=x.dtype) * (
+            jnp.trace(JtJ) / 8.0 + 1e-12
+        )
+        delta = jnp.linalg.solve(A, -Jtr)
+        x_new = x + delta
+        better = reduce(jnp.sum(resid(x_new) ** 2)) <= reduce(
+            jnp.sum(r**2)
+        )
+        return jnp.where(better, x_new, x), None
+
+    x, _ = jax.lax.scan(step, lw_dq, None, length=iterations)
+    cost = 0.5 * reduce(jnp.sum(resid(x) ** 2))
+    return x, cost
+
+
 @partial(jax.jit, static_argnames=("iterations", "damping"))
 def solve_rigid(
     lw_dq: jax.Array,
@@ -41,26 +89,7 @@ def solve_rigid(
     iterations: int = 10,
     damping: float = 1e-6,
 ):
-    """Gauss-Newton on the 8-dof DQ pose. Returns (lw_dq, cost)."""
-
-    def resid(x):
-        return p2s_residuals(x, pts, normals, corrs, mask)
-
-    hi = jax.lax.Precision.HIGHEST
-
-    def step(x, _):
-        r = resid(x)
-        J = jax.jacfwd(resid)(x)  # (V, 8)
-        JtJ = jnp.dot(J.T, J, precision=hi)
-        Jtr = jnp.dot(J.T, r, precision=hi)
-        A = JtJ + damping * jnp.eye(8, dtype=x.dtype) * (
-            jnp.trace(JtJ) / 8.0 + 1e-12
-        )
-        delta = jnp.linalg.solve(A, -Jtr)
-        x_new = x + delta
-        better = jnp.sum(resid(x_new) ** 2) <= jnp.sum(r**2)
-        return jnp.where(better, x_new, x), None
-
-    x, _ = jax.lax.scan(step, lw_dq, None, length=iterations)
-    cost = 0.5 * jnp.sum(resid(x) ** 2)
-    return x, cost
+    """Single-chip entry: solve_rigid_core with the identity reduction."""
+    return solve_rigid_core(
+        lw_dq, pts, normals, corrs, mask, iterations, damping
+    )

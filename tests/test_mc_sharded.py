@@ -62,6 +62,11 @@ def test_sharded_mc_matches_single_chip(mesh8, step):
     assert int(sh["n_verts"]) >= nvr          # duplicates only add
     assert int(sh["n_faces"]) == nfr          # faces are partitioned
 
+    # the OWNED subset has no duplicates and matches single-chip exactly
+    so = np.asarray(sh["verts"])[np.asarray(sh["vert_owned"])]
+    assert int(sh["n_owned"]) == nvr == len(so)
+    assert set(map(tuple, so)) == rset
+
     # faces as position triples: exactly equal sets
     tri_r = rv[np.asarray(ref["faces"])[:nfr].reshape(-1)].reshape(-1, 9)
     fs = np.asarray(sh["faces"])[np.asarray(sh["face_valid"])]
