@@ -103,19 +103,113 @@ def run_equivalence(res: int = 512, n_devices: int = 8, seed: int = 0):
     }
 
 
+def run_full_frame(res: int = 512, n_devices: int = 8):
+    """The COMPLETE six-stage sharded frame (parallel/frame_sharded.py)
+    at ``res``³ across the mesh — extraction, correspondence, rigid
+    presolve, relaxed GN rounds, fusion, graph maintenance as ONE
+    program. There is no dense run to diff against at this size (the
+    single-dispatch frame refuses >64M voxels and a CPU 512³ dense frame
+    takes tens of minutes); the equivalence anchors are (a) the bitwise
+    update-kernel diff above at the same 512³ shapes and (b) the
+    full-frame geometric equivalence test at 64³
+    (tests/test_frame_sharded.py). Here the gates are behavioral: the
+    solve descends, certificates hold, nothing overflows."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.parallel.frame_sharded import (
+        make_fusion_frame_sharded,
+        make_init_canonical_sharded,
+    )
+    from dynamicfusion_body_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    from bench import bumpy_sdf
+
+    canonical = bumpy_sdf(res, (res // 2,) * 3, 0.27 * res, 0.02 * res,
+                          3.0, 0.0)
+    tdist = float(canonical.max())
+    live = jnp.asarray(
+        bumpy_sdf(res, (res // 2 + 2, res // 2 + 1, res // 2),
+                  0.27 * res, 0.02 * res, 3.0, 0.05)
+    )
+    mesh = make_mesh(n_devices)
+    vs = volume_sharding(mesh)
+    values = jax.device_put(jnp.asarray(canonical), vs)
+    weights = jax.device_put(jnp.zeros((res,) * 3, jnp.float32), vs)
+    del canonical
+
+    # per-device caps: the 512³ step-2 canonical surface is ~95k verts,
+    # step-1 live ~380k — slabs are uneven, give each device headroom
+    vcap, fcap = 1 << 15, 1 << 16
+    lvcap, lfcap = 1 << 17, 1 << 18
+    t0 = time.time()
+    init = make_init_canonical_sharded(
+        mesh, subsample_rate=1.5, node_cap=4096, vert_cap=vcap,
+        face_cap=fcap, mc_step=2,
+    )
+    wf, _rad = init(values)
+    lw = jnp.array([1, 0, 0, 0, 0, 0.1, 0, 0], jnp.float32)
+    frame = make_fusion_frame_sharded(
+        mesh, regularization_weight=0.5, knn_k=3, tdist=tdist,
+        vert_cap=vcap, face_cap=fcap, live_vert_cap=lvcap,
+        live_face_cap=lfcap, mc_step=2, solve_iters=3, gn_iters=4,
+        cg_iters=8, tolerance=5.0, n_candidates=16,
+    )
+    t_setup = time.time() - t0
+    t0 = time.time()
+    v1, w1, wf1, lw1, stats, _mesh = frame(values, weights, live, wf, lw)
+    float(stats.cost_after[-1])  # force completion
+    t_frame = time.time() - t0
+    cb = np.asarray(stats.cost_before)
+    ca = np.asarray(stats.cost_after)
+    return {
+        "res": res,
+        "n_devices": n_devices,
+        "n_corr": int(stats.n_corr),
+        "n_nodes": int(stats.n_nodes),
+        "cost_before_r0": round(float(cb[0]), 4),
+        "cost_after_r0": round(float(ca[0]), 4),
+        "descended": bool(ca[0] < cb[0]),
+        "pool_risk": int(stats.pool_risk),
+        "corr_risk": int(stats.corr_risk),
+        "overflow": bool(stats.overflow),
+        "t_setup_s": round(t_setup, 1),
+        "t_frame_s": round(t_frame, 1),
+    }
+
+
 def main():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var — force the
+    # virtual CPU mesh via the config API (tests/conftest.py trick); the
+    # device-count XLA flag must still come from the environment because
+    # it is read at backend init
+    flag = "--xla_force_host_platform_device_count=8"
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag
+        ).strip()
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    full = "--full-frame" in sys.argv
     print(f"# devices: {len(jax.devices())} ({jax.default_backend()})",
           file=sys.stderr)
-    out = run_equivalence(res=res)
-    ok = out["max_dev_values"] <= 1e-5 and out["max_dev_weights"] <= 1e-5
-    out["metric"] = f"sharded_equivalence_{res}"
+    if full:
+        out = run_full_frame(res=res)
+        ok = (out["descended"] and not out["overflow"]
+              and np.isfinite(out["cost_after_r0"]))
+        out["metric"] = f"sharded_full_frame_{res}"
+    else:
+        out = run_equivalence(res=res)
+        ok = out["max_dev_values"] <= 1e-5 and out["max_dev_weights"] <= 1e-5
+        out["metric"] = f"sharded_equivalence_{res}"
     out["ok"] = ok
     print(json.dumps(out))
     sys.exit(0 if ok else 1)

@@ -80,6 +80,7 @@ from ..solvers.nonrigid import (
 from ..solvers.rigid import solve_rigid_core
 from .mc_sharded import mc_local_slab
 from .mesh import VOXEL_AXIS
+from .sharded import update_local_with_caches
 
 
 def _make_extract_canon(mesh: Mesh, vert_cap, face_cap, mc_step):
@@ -356,30 +357,9 @@ def make_fusion_frame_sharded(
 
     # ---------------- section D: sharded TSDF update ----------------
     def _update_local(values, weights, live, wf, lw_dq):
-        idx = jax.lax.axis_index(axis)
-        x0 = idx * values.shape[0]
-        shape = values.shape
-        C = n_candidates
-        cand, r_pool = WF.brick_candidates_2level(
-            wf, shape, brick, C, x_offset=x0, with_pool=True
-        )
-        if r_pool is None:
-            # slab not s-tileable: flat (exact) per-brick candidates
-            cand = WF.brick_candidates(wf, shape, brick, C, x_offset=x0)
-            warp_cache = WF.build_warp_cache(
-                wf, shape, cand, knn_k, brick, x_offset=x0
-            )
-            risk = jnp.int32(0)
-        else:
-            sel, selw, wi, risk = WF.build_warp_cache(
-                wf, shape, cand, knn_k, brick, x_offset=x0,
-                pool_ctx=r_pool,
-            )
-            warp_cache = (sel, selw, wi)
-        v, w, esc, prisk = WF.update_tsdf_nonrigid(
-            values, weights, live, wf, lw_dq, k=knn_k, tdist=tdist,
-            wmax=wmax, brick=brick, n_candidates=C, x_offset=x0,
-            cand_cache=(cand, risk), warp_cache=warp_cache,
+        v, w, esc, prisk = update_local_with_caches(
+            values, weights, live, wf, lw_dq, axis, knn_k, tdist, wmax,
+            brick, n_candidates,
         )
         return (v, w, jax.lax.psum(esc, axis), jax.lax.psum(prisk, axis))
 

@@ -74,6 +74,49 @@ def update_tsdf_rigid_sharded(mesh: Mesh, tdist: float, wmax: float = 100.0):
     )
 
 
+def update_local_with_caches(
+    values, weights, live, wf, lw_dq, axis_name, k, tdist, wmax, brick,
+    n_candidates,
+):
+    """One device's slab of the non-rigid TSDF update, with the caches —
+    per-brick 2-level candidates + the per-voxel kNN/blend cache — built
+    in-region at this device's x_offset, carrying the PER-VOXEL material
+    pool certificate (build_warp_cache pool_ctx docstring). The sharded
+    path therefore reports the same ``pool_risk`` semantics as the
+    single-chip pipeline (ADVICE r4 #3: the old in-kernel build reported
+    the useless brick-level ball bound, a near-constant ~NB count).
+    Falls back to flat (exact, risk 0 by construction) candidates when
+    the slab's brick grid is not 2-tileable. Call INSIDE shard_map."""
+    from ..models.warp_field import (
+        brick_candidates,
+        brick_candidates_2level,
+        build_warp_cache,
+    )
+
+    idx = jax.lax.axis_index(axis_name)
+    x0 = idx * values.shape[0]
+    shape = values.shape
+    cand, r_pool = brick_candidates_2level(
+        wf, shape, brick, n_candidates, x_offset=x0, with_pool=True
+    )
+    if r_pool is None:
+        cand = brick_candidates(wf, shape, brick, n_candidates,
+                                x_offset=x0)
+        warp_cache = build_warp_cache(wf, shape, cand, k, brick,
+                                      x_offset=x0)
+        risk = jnp.int32(0)
+    else:
+        sel, selw, wi, risk = build_warp_cache(
+            wf, shape, cand, k, brick, x_offset=x0, pool_ctx=r_pool
+        )
+        warp_cache = (sel, selw, wi)
+    return update_tsdf_nonrigid(
+        values, weights, live, wf, lw_dq, k=k, tdist=tdist, wmax=wmax,
+        brick=brick, n_candidates=n_candidates, x_offset=x0,
+        cand_cache=(cand, risk), warp_cache=warp_cache,
+    )
+
+
 def update_tsdf_nonrigid_sharded(
     mesh: Mesh,
     k: int,
@@ -83,14 +126,14 @@ def update_tsdf_nonrigid_sharded(
     n_candidates: int = 8,
 ):
     """Non-rigid canonical fusion: canonical volume sharded along x, live
-    volume + warp field replicated."""
+    volume + warp field replicated. ``pool_risk`` is the per-voxel
+    MATERIAL certificate count, psum'd (same semantics as single-chip —
+    see update_local_with_caches)."""
 
     def local(values, weights, live, wf, lw_dq):
-        idx = jax.lax.axis_index(VOXEL_AXIS)
-        x0 = idx * values.shape[0]
-        v, w, esc, risk = update_tsdf_nonrigid(
-            values, weights, live, wf, lw_dq, k, tdist, wmax,
-            brick=brick, n_candidates=n_candidates, x_offset=x0,
+        v, w, esc, risk = update_local_with_caches(
+            values, weights, live, wf, lw_dq, VOXEL_AXIS, k, tdist, wmax,
+            brick, n_candidates,
         )
         return v, w, jax.lax.psum(esc, VOXEL_AXIS), jax.lax.psum(risk, VOXEL_AXIS)
 

@@ -56,39 +56,70 @@ def regularize_verts(verts, vert_mask, flipyz: bool = False):
     return jnp.where(vert_mask[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "S", "normalize_input"))
+@partial(
+    jax.jit, static_argnames=("h", "w", "S", "normalize_input",
+                              "view_batch"),
+)
 def _descriptors(model_params, verts, faces, face_mask, vert_mask, mvps,
                  znear, zfar, h: int = 512, w: int = 512, S: int = 8,
-                 normalize_input: bool = True):
+                 normalize_input: bool = True, view_batch: int = 8):
     """Per-vertex 16-D descriptors averaged over all views (one jitted
-    program; reference loop core/sdf.py:126-150)."""
+    program; reference loop core/sdf.py:126-150).
+
+    ``view_batch`` views run through DHBC as ONE (B,H,W,1) forward: the
+    network's hot layers are the 16²-spatial 4096-channel 1×1 convs and
+    the small-spatial 3×3s, which at B=1 leave the MXU starved on the
+    batch/spatial axis — batching multiplies the GEMM M-dimension by B
+    for identical weight traffic (measured numbers:
+    benchmarks/bench_cnn.py). Renders stay serial (see below); the
+    feature scatter is one flat segment_sum over all views."""
     model = DHBC(normalize_input=normalize_input)
     reg = regularize_verts(verts, vert_mask)
     b = zfar * znear / (znear - zfar)
     a = -b / znear
     n_verts = verts.shape[0]
+    n_views = mvps.shape[0]
+    vb = max(1, min(view_batch, n_views))
+    if n_views % vb:
+        vb = 1  # odd view counts fall back to singles
 
-    def one_view(mvp):
+    # renders stay SERIAL — each view's rasterization keeps F·S²
+    # fragment records live (~1 GB of transient pipeline state at the
+    # live mesh's 2¹⁸ face cap, S=8) and batching renders keeps vb of
+    # them live at once (measured: vmapped renders at vb=8 OOM a 16 GB
+    # v5e); the stacked outputs are small (24·512²·4 B = 25 MB each)
+    def render_one(mvp):
         ids, zwin = render_id(reg, faces, face_mask, mvp, h, w, S=S)
         depth8 = jnp.floor(
-            jnp.clip((zfar - b / (zwin - a)) / (zfar - znear) * 255.0, 0, 255)
+            jnp.clip((zfar - b / (zwin - a)) / (zfar - znear) * 255.0,
+                     0, 255)
         )
-        feats = model.apply(
-            model_params, depth8[None, :, :, None].astype(jnp.float32)
-        )[0]  # (h, w, 16)
-        mask = ids > 0
-        seg = jnp.where(mask, ids - 1, n_verts).reshape(-1)
-        fsum = jax.ops.segment_sum(
-            feats.reshape(-1, feats.shape[-1]), seg, num_segments=n_verts + 1
-        )[:n_verts]
-        cnt = jax.ops.segment_sum(
-            mask.reshape(-1).astype(jnp.float32), seg, num_segments=n_verts + 1
-        )[:n_verts]
-        return fsum, cnt
+        return ids, depth8
 
-    fsums, cnts = jax.lax.map(one_view, mvps)
-    fsum = jnp.sum(fsums, axis=0)
-    cnt = jnp.sum(cnts, axis=0)
+    ids_all, depth_all = jax.lax.map(render_one, mvps)
+
+    # the NETWORK runs vb views as one (vb, h, w, 1) forward — the hot
+    # layers (16²-spatial 4096-channel 1×1s and small-spatial 3×3s)
+    # starve the MXU at B=1; batching multiplies the GEMM M-dim by vb
+    # for identical weight traffic
+    feats_all = jax.lax.map(
+        lambda d8: model.apply(model_params,
+                               d8[..., None].astype(jnp.float32)),
+        depth_all.reshape(-1, vb, h, w),
+    ).reshape(n_views, h, w, -1)
+
+    # one flat scatter over ALL views (vertex ids are view-independent,
+    # per-view sums just add)
+    mask = ids_all > 0
+    seg = jnp.where(mask, ids_all - 1, n_verts).reshape(-1)
+    fsum = jax.ops.segment_sum(
+        feats_all.reshape(-1, feats_all.shape[-1]), seg,
+        num_segments=n_verts + 1,
+    )[:n_verts]
+    cnt = jax.ops.segment_sum(
+        mask.reshape(-1).astype(jnp.float32), seg,
+        num_segments=n_verts + 1,
+    )[:n_verts]
     return fsum / jnp.maximum(cnt, 1.0)[:, None], cnt
 
 
@@ -99,7 +130,9 @@ class CnnCorrespondence:
     def __init__(self, weights_npz: str | None = None, image_size: int = 512,
                  n_views: int = 24, znear: float = 1.0, zfar: float = 3.5,
                  normalize_input: bool | None = None,
-                 feature_norm: bool | None = None):
+                 feature_norm: bool | None = None,
+                 view_batch: int = 8,
+                 samples: int = 4):
         """``normalize_input``: None = auto — use the contract recorded in
         the weights npz; weights files without the marker (converted
         reference checkpoints) default to False, the reference's raw
@@ -133,6 +166,17 @@ class CnnCorrespondence:
         self.image_size = image_size
         self.mvps = jnp.asarray(view_mvps(n_views, znear, zfar))
         self.znear, self.zfar = znear, zfar
+        self.view_batch = view_batch
+        # rasterizer sample density: hole-free while triangle bboxes fit
+        # in samples×samples pixels. Regularized body meshes (1.8-unit
+        # height ≈ 400 px at these MVPs) have 1-3 px triangles at the
+        # reference's mesh densities, and fragment scatters dominate the
+        # whole CNN path (~F·samples²·24 scatter ops). Measured on a v5e
+        # at bench meshes (benchmarks/bench_cnn.py): S=8 → 4290 ms/mesh
+        # at 0.9993 vertex coverage, S=4 → 1288 ms at 0.9997 (identical
+        # match count; full both-mesh setup 21.9 s → 5.9 s), S=2 →
+        # coverage collapses (corner-only grids miss interiors). So 4.
+        self.samples = samples
 
     def compute_correspondence(self, verts, faces, face_mask, vert_mask):
         """[N,16] descriptor per vertex (masked slots zero)."""
@@ -140,6 +184,7 @@ class CnnCorrespondence:
             self.params, verts, faces, face_mask, vert_mask, self.mvps,
             self.znear, self.zfar, h=self.image_size, w=self.image_size,
             normalize_input=self.normalize_input,
+            view_batch=self.view_batch, S=self.samples,
         )
         if self.feature_norm:
             feats = feats / jnp.maximum(

@@ -588,10 +588,18 @@ class Fusion:
         tukey_data_weight=0.2,
         huber_regularization_weight=0.001,
         regularization_weight=1.0,
+        iterations=None,
+        gn_iters=8,
+        cg_iters=32,
     ):
         """Warp-field estimation for the current frame (reference
         core/fusion.py:327-412): optional global-pose presolve, then GN
-        over node DQs with the regularization-relaxation schedule."""
+        over node DQs with the regularization-relaxation schedule.
+
+        ``iterations``/``gn_iters``/``cg_iters`` override the relaxation
+        round count (the reference's 3 for clpts) and per-round solver
+        depth — accuracy/latency knobs for ablations
+        (tools/diag_config7.py); defaults reproduce the reference."""
         if correspondences is not None:
             self._correspondences = jnp.asarray(correspondences, dtype=jnp.float32)
             self._corr_valid = jnp.ones(
@@ -602,7 +610,8 @@ class Fusion:
                 "Please first call setupCorrespondences to compute point to "
                 "point correspondences between canonical and live frame vertices!"
             )
-        iteration = 3 if method == "clpts" else 1
+        iteration = (3 if method == "clpts" else 1) if iterations is None \
+            else int(iterations)
         self._itercounter += 1
 
         if precompute_lw:
@@ -646,7 +655,7 @@ class Fusion:
             reg_args = (pair_i, pair_j, pair_v, pair_scale, pair_mask)
             new_dq, cost_before, _, cost_after, _, ell_over = solve_nonrigid(
                 self._warp.node_dq, *data_args, *reg_args, self._lw,
-                gn_iters=8, cg_iters=32, dense_pairs=True,
+                gn_iters=gn_iters, cg_iters=cg_iters, dense_pairs=True,
             )
             if int(ell_over) > 0:
                 warnings.warn(

@@ -93,3 +93,132 @@ def test_convert_rejects_wrong_shapes(fake_checkpoint):
     del bad["feature/encoder/Conv/weights"]
     with pytest.raises(ValueError, match="missing"):
         convert_var_dict(bad)
+
+
+def _tf_or_skip():
+    tf = pytest.importorskip("tensorflow")
+    return tf
+
+
+def _save_genuine_checkpoint(tf, var_values, prefix):
+    """Serialize ``var_values`` as a REAL TF1 checkpoint bundle
+    (model.index + model.data-00000-of-00001) via tf.compat.v1.train.Saver
+    — the exact on-disk format of the reference's Google-Drive artifact
+    (core/models/README.txt)."""
+    g = tf.Graph()
+    with g.as_default():
+        tfvars = {}
+        for name, arr in var_values.items():
+            scope, leaf = name.rsplit("/", 1)
+            with tf.compat.v1.variable_scope(scope,
+                                             auxiliary_name_scope=False):
+                tfvars[name] = tf.compat.v1.get_variable(
+                    leaf, initializer=tf.constant(arr)
+                )
+        saver = tf.compat.v1.train.Saver(var_list=tfvars)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, prefix)
+
+
+def _tf_forward(tf, var_values, depth8):
+    """The reference DHBC forward with raw TF ops — semantically
+    identical to core/net.py:15-56's slim graph (manual zero pad + VALID
+    conv + elu, 3x3/s2 maxpool, nearest upsample, concat [up, skip])."""
+    import numpy as np  # noqa: F811
+
+    order = [f"feature/encoder/Conv{'' if i == 0 else f'_{i}'}"
+             for i in range(7)]
+    order += [f"feature/decoder/Conv{'' if i == 0 else f'_{i}'}"
+              for i in range(8)]
+
+    def conv(x, i, stride=1):
+        w = tf.constant(var_values[f"{order[i]}/weights"])
+        b = tf.constant(var_values[f"{order[i]}/biases"])
+        k = int(w.shape[0])
+        p = (k - 1) // 2
+        x = tf.pad(x, [[0, 0], [p, p], [p, p], [0, 0]])
+        x = tf.nn.conv2d(x, w, [1, stride, stride, 1], "VALID") + b
+        return tf.nn.elu(x)
+
+    def maxpool(x):
+        x = tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]])
+        return tf.nn.max_pool2d(x, 3, 2, "VALID")
+
+    def up(x):
+        h, w_ = int(x.shape[1]), int(x.shape[2])
+        return tf.image.resize(x, [2 * h, 2 * w_], method="nearest")
+
+    x = tf.constant(depth8)
+    c1 = conv(x, 0, 4)
+    p1 = maxpool(c1)
+    c2 = conv(p1, 1)
+    p2 = maxpool(c2)
+    c3 = conv(p2, 2)
+    c4 = conv(c3, 3)
+    c5 = conv(c4, 4)
+    p5 = maxpool(c5)
+    c6 = conv(p5, 5)
+    c7 = conv(c6, 6)
+    u5 = conv(up(c7), 7)
+    i5 = conv(tf.concat([u5, c5], 3), 8)
+    u4 = conv(up(i5), 9)
+    i4 = conv(tf.concat([u4, c2], 3), 10)
+    u3 = conv(up(i4), 11)
+    i3 = conv(tf.concat([u3, c1], 3), 12)
+    u2 = conv(up(i3), 13)
+    u1 = conv(up(u2), 14)
+    return u1.numpy()
+
+
+def test_genuine_tf_checkpoint_roundtrip(fake_checkpoint, tmp_path):
+    """VERDICT r4 #5: exercise convert_tf_dhbc.py on a GENUINE
+    TF-serialized checkpoint (not a synthetic var dict): save a real TF1
+    bundle with the exact slim variable names, run the converter CLI,
+    load the npz into the Flax DHBC, and assert DESCRIPTOR PARITY
+    against a TF forward of the reference topology on the same input."""
+    import subprocess
+
+    tf = _tf_or_skip()
+    import jax.numpy as jnp
+
+    from dynamicfusion_body_tpu.models.dhbc import (
+        DHBC, init_dhbc, load_npz_params,
+    )
+
+    prefix = str(tmp_path / "model")
+    _save_genuine_checkpoint(tf, fake_checkpoint, prefix)
+    # the real artifact's file set: an index + a data shard
+    assert os.path.exists(prefix + ".index")
+    data_files = [f for f in os.listdir(tmp_path)
+                  if f.startswith("model.data-")]
+    assert data_files
+
+    out_npz = str(tmp_path / "dhbc.npz")
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(tools_dir, "convert_tf_dhbc.py"),
+         "--checkpoint", prefix, "--out", out_npz],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out_npz)
+
+    # converted npz records the reference's raw-input contract
+    z = np.load(out_npz)
+    assert bool(z["__normalize_input__"]) is False
+
+    rng = np.random.RandomState(1)
+    depth8 = np.floor(rng.rand(1, 64, 64, 1) * 256).astype(np.float32)
+    want = _tf_forward(tf, fake_checkpoint, depth8)
+
+    _, params = init_dhbc(h=64, w=64, normalize_input=False)
+    params = load_npz_params(params, out_npz)
+    got = np.asarray(
+        DHBC(normalize_input=False).apply(params, jnp.asarray(depth8))
+    )
+    assert got.shape == want.shape == (1, 64, 64, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
