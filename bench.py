@@ -113,6 +113,14 @@ def main():
         regularization_weight=0.5, knn_k=3, tdist=tdist, mc_step=2,
         solve_iters=3, gn_iters=6, cg_iters=12, tolerance=5.0,
         n_candidates=16,
+        # hardware approx top-k for the frame-entry candidate search.
+        # Tried "2level" (chunked candidate pools) here in round 5: the
+        # frame REGRESSED 617 → 897 ms — every round tripped the drift-
+        # certificate refresh (corr_refresh 3/3) and the degraded
+        # matches bloated the fused canonical surface toward the vertex
+        # cap (23.5k → 31.8k after two warmups). The pools are built on
+        # the live mesh's extraction-order coherence, which the WARPED
+        # canonical query order does not share.
         approx_knn=jax.default_backend() == "tpu",
         use_pallas=(jax.default_backend() == "tpu"
                     and trilerp_bricks_supported((RES,) * 3, 8)),
