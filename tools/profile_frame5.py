@@ -8,6 +8,29 @@ Each arm runs bench.py's exact 6-frame amortized chain with ONE knob
 changed; the delta vs base attributes that stage's true in-frame cost.
 
 Run: nohup python tools/profile_frame5.py > /tmp/profile_frame5.txt 2>&1 &
+
+Round-5 measurement (v5e, 256³, bench knobs gn6/cg12):
+
+    base (bench knobs gn6cg12)      575.3 ms/frame
+    solve_iters=0 (no solve)        264.0
+    solve_iters=1                   420.0
+    gn_iters=1 (3 rounds x 1)       522.0
+    update_graph=False              588.0   (≈ noise: removing the
+                                             graph update didn't help)
+    reuse_corr off (fresh rounds)   482.8   ← fresh full search per
+                                             round BEATS the cached-
+                                             candidate + certificate
+                                             machinery by 93 ms
+    exact_candidates                610.4
+    cg_iters=6                      550.4
+
+Reading: the GN marginal cost is ~3.5 ms/iter (15 extra iters cost
+53 ms — the JᵀWJ freeze works) and the CG marginal ~0.23 ms/iter; the
+solve's ~311 ms is dominated by PER-ROUND FIXED cost, most of it the
+cached-candidate re-rank + drift-certificate + lax.cond(refresh)
+machinery, which in-frame costs more than the fresh bf16 top-k search
+it was built to avoid (the frame-entry candidate build it needs is
+itself ~60 ms, and steady state still refreshes ~1 round/frame).
 """
 
 import os
@@ -66,11 +89,18 @@ def main():
             return fusion_frame(values, weights, live, wf, lw,
                                 canon_mesh=mesh, **hyper)
 
+        def fetch(out):
+            # forces the frame's full dependency chain; cost_after is
+            # empty when solve_iters=0, so sync on the fused volume and
+            # the post-update mesh (the two terminal stages).
+            _ = float(out[0][0, 0, 0])
+            _ = float(out[5]["verts"][0, 0])
+
         t0 = time.time()
         out = frame(values, weights, wf, lw, lives[0], None)
-        _ = float(out[4].cost_after[-1])
+        fetch(out)
         out = frame(out[0], out[1], out[2], out[3], lives[0], out[5])
-        _ = float(out[4].cost_after[-1])
+        fetch(out)
         t_compile = time.time() - t0
         state0 = (*out[:4], out[5])
 
@@ -79,7 +109,8 @@ def main():
             for live in frames:
                 v, w, wf_, lw_, stats, mesh = frame(v, w, wf_, lw_, live,
                                                     mesh)
-            _ = float(stats.cost_after[-1])
+            _ = float(v[0, 0, 0])
+            _ = float(mesh["verts"][0, 0])
             return (v, w, wf_, lw_, mesh)
 
         run_chain(state0, lives[:1])
