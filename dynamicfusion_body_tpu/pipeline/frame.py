@@ -173,7 +173,8 @@ def init_canonical(
     jax.jit,
     static_argnames=(
         "knn_k", "tdist", "wmax", "vert_cap", "face_cap", "live_vert_cap",
-        "live_face_cap", "mc_step", "solve_iters", "gn_iters", "cg_iters",
+        "live_face_cap", "mc_step", "live_mc_step", "solve_iters",
+        "gn_iters", "cg_iters",
         "ftol", "tolerance", "brick", "n_candidates", "update_graph",
         "use_pallas", "use_grid_corr", "approx_knn", "reuse_corr",
         "allow_large", "exact_candidates",
@@ -194,9 +195,10 @@ def fusion_frame(
     live_vert_cap: int | None = None,
     live_face_cap: int | None = None,
     mc_step: int = 3,
+    live_mc_step: int = 1,
     solve_iters: int = 3,
-    gn_iters: int = 8,
-    cg_iters: int = 32,
+    gn_iters: int | tuple = 8,
+    cg_iters: int | tuple = 32,
     ftol: float = 1e-5,  # scipy parity (core/fusion.py:391)
     tolerance: float = 0.2,
     brick: int = 8,
@@ -220,7 +222,16 @@ def fusion_frame(
     ``exact_candidates=True`` bypasses the 2-level brick candidate
     approximation in the TSDF update (flat per-brick kNN over the whole
     node pool; pool_risk is then 0 by construction) — the conservative
-    arm of the bench accuracy cross-check."""
+    arm of the bench accuracy cross-check.
+
+    ``gn_iters``/``cg_iters`` may be per-round tuples of length
+    ``solve_iters`` (e.g. ``gn_iters=(8, 4, 2)``): the relaxation rounds
+    then unroll with descending solver depth instead of sharing one
+    scanned body — the first round removes most of the tracking energy
+    and later rounds only polish the relaxed-regularization basin
+    (reference schedule core/fusion.py:405-412), so a deep-first
+    schedule buys the same converged cost for fewer total iterations
+    (round-5 in-frame profile, tools/profile_frame5.py)."""
     if live_vert_cap is None:
         live_vert_cap = vert_cap
     if live_face_cap is None:
@@ -257,9 +268,15 @@ def fusion_frame(
     # live normals are never consumed (correspondences only target live
     # vertex POSITIONS, core/fusion.py:251-276) — skipping them drops the
     # three full-volume gradient passes (~45 ms at 256³)
+    # ``live_mc_step``: extraction stride of the live target surface.
+    # The reference extracts at stride 1 (core/fusion.py:247) on a 64³
+    # lattice; stride s at 256³ keeps 4/s× the reference's world-space
+    # target density. The bench's PINNED exact arm keeps stride 1
+    # regardless of the fast arm's setting, so the common-objective
+    # ratio gate scores any stride>1 against full-density targets.
     live_mesh = marching_cubes(
         live, level=0.0, vert_cap=live_vert_cap, face_cap=live_face_cap,
-        step_size=1, use_pallas=use_pallas, with_normals=False,
+        step_size=live_mc_step, use_pallas=use_pallas, with_normals=False,
     )
     lmask = jnp.arange(live_vert_cap) < live_mesh["n_verts"]
 
@@ -366,8 +383,10 @@ def fusion_frame(
         dense_pairs=True,
     )
 
-    def round_fn(carry, it):
+    def round_fn(carry, it, gn_r=None, cg_r=None):
         node_dq, lw_, rw, act, dmp = carry
+        gn_r = gn_iters if gn_r is None else gn_r
+        cg_r = cg_iters if cg_r is None else cg_r
 
         def run(args):
             node_dq, lw_, rw, dmp = args
@@ -392,7 +411,7 @@ def fusion_frame(
             # step with FRESH blocks, so no stale_fail rescue applies.
             new_dq, cb, cbh, ca, dmp_new, ellov = gn_solve_core(
                 node_dq, data_args, reg_args, lw_,
-                gn_iters, cg_iters, 1e-4, ftol, lambda x: x,
+                gn_r, cg_r, 1e-4, ftol, lambda x: x,
                 dense_pairs=True,
                 damping_init=jnp.minimum(dmp, jnp.float32(1e-2)),
                 solver_ctx=solver_ctx,
@@ -417,13 +436,32 @@ def fusion_frame(
                                               ellov)
 
     rw0 = jnp.asarray(regularization_weight, jnp.float32)
-    (node_dq, lw_dq, _, _, _), (
-        cbs, cbhs, cas, risks, refreshes, ellovs
-    ) = jax.lax.scan(
-        round_fn,
-        (wf.node_dq, lw_dq, rw0, jnp.bool_(True), jnp.float32(1e-4)),
-        jnp.arange(solve_iters),
-    )
+    carry0 = (wf.node_dq, lw_dq, rw0, jnp.bool_(True), jnp.float32(1e-4))
+    gn_sched = (tuple(gn_iters) if isinstance(gn_iters, (tuple, list))
+                else (gn_iters,) * solve_iters)
+    cg_sched = (tuple(cg_iters) if isinstance(cg_iters, (tuple, list))
+                else (cg_iters,) * solve_iters)
+    if len(gn_sched) != solve_iters or len(cg_sched) != solve_iters:
+        raise ValueError(
+            f"gn_iters/cg_iters schedules must have length solve_iters="
+            f"{solve_iters}, got {gn_sched}/{cg_sched}"
+        )
+    if len(set(gn_sched)) == 1 and len(set(cg_sched)) == 1:
+        # uniform depth: one compiled round body, scanned
+        (node_dq, lw_dq, _, _, _), (
+            cbs, cbhs, cas, risks, refreshes, ellovs
+        ) = jax.lax.scan(round_fn, carry0, jnp.arange(solve_iters))
+    else:
+        # per-round depth schedule: unrolled rounds, same carry chain
+        carry, ys = carry0, []
+        for r in range(solve_iters):
+            carry, y = round_fn(carry, jnp.int32(r),
+                                gn_r=gn_sched[r], cg_r=cg_sched[r])
+            ys.append(y)
+        node_dq, lw_dq = carry[0], carry[1]
+        cbs, cbhs, cas, risks, refreshes, ellovs = (
+            jnp.stack([y[i] for y in ys]) for i in range(6)
+        )
     wf = wf.replace(node_dq=node_dq)
     corr_risk = cand_risk + risk0 + jnp.sum(risks)
     corr_refresh = refresh0 + jnp.sum(refreshes)
