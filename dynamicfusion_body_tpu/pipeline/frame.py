@@ -383,10 +383,8 @@ def fusion_frame(
         dense_pairs=True,
     )
 
-    def round_fn(carry, it, gn_r=None, cg_r=None):
+    def round_fn(carry, it, gn_r, cg_r):
         node_dq, lw_, rw, act, dmp = carry
-        gn_r = gn_iters if gn_r is None else gn_r
-        cg_r = cg_iters if cg_r is None else cg_r
 
         def run(args):
             node_dq, lw_, rw, dmp = args
@@ -447,16 +445,20 @@ def fusion_frame(
             f"{solve_iters}, got {gn_sched}/{cg_sched}"
         )
     if len(set(gn_sched)) == 1 and len(set(cg_sched)) == 1:
-        # uniform depth: one compiled round body, scanned
+        # uniform depth: one compiled round body, scanned (a tuple like
+        # gn_iters=(8, 8) collapses to the scalar scan path)
         (node_dq, lw_dq, _, _, _), (
             cbs, cbhs, cas, risks, refreshes, ellovs
-        ) = jax.lax.scan(round_fn, carry0, jnp.arange(solve_iters))
+        ) = jax.lax.scan(
+            lambda c, it: round_fn(c, it, gn_sched[0], cg_sched[0]),
+            carry0, jnp.arange(solve_iters),
+        )
     else:
         # per-round depth schedule: unrolled rounds, same carry chain
         carry, ys = carry0, []
         for r in range(solve_iters):
             carry, y = round_fn(carry, jnp.int32(r),
-                                gn_r=gn_sched[r], cg_r=cg_sched[r])
+                                gn_sched[r], cg_sched[r])
             ys.append(y)
         node_dq, lw_dq = carry[0], carry[1]
         cbs, cbhs, cas, risks, refreshes, ellovs = (

@@ -21,6 +21,30 @@ shallow schedules actually fail (gn=4 swept 0.919 forward but benched
 Arms are named presets (see ARMS below). Run:
   nohup python tools/sweep_frame5.py fresh sched2 lms2 sched2+lms2 \
       > /tmp/sweep5b.txt 2>&1 &
+
+Round-5 measurement (v5e, 256³; exact arm cost_e=3.822, pre=5124.8;
+gate = common-objective ratio on the rewind frame, pass < 1.10):
+
+    si1 (1 round, gn12 cg16)   437.3 ms  ratio 0.863  <- WINNER: best
+                                          speed AND best tracking
+    fresh (gn6 x3)             483.3 ms  ratio 1.027
+    sched2 (gn 8,4,2)          484.7 ms  ratio 0.950
+    lms2                       507.1 ms  ratio 2.016  FAIL
+    sched2+lms2                508.8 ms  ratio 1.890  FAIL
+    cached+sched2              555.2 ms  ratio 0.949
+    si2  (2 rounds, gn 10,6)   718.4 ms  ratio 0.886
+    si2b (2 rounds, gn 8,8)    743.8 ms  ratio 0.950
+
+Readings: (1) per-round FIXED cost dominates — one deep round beats
+every multi-round schedule; (2) half-density live targets (lms2) break
+tracking outright; (3) solve_iters=2 chains are anomalously SLOW
+(718-744 ms in scanned AND unrolled forms): the higher final reg weight
+(one relaxation instead of two) tracks worse over the 6-frame chain,
+the fused canonical surface bloats, and every later frame pays for the
+extra verts; (4) one deep round at rw=0.5 scores BETTER on the common
+objective than the 3-round relaxed-reg exact arm — on this scale of
+motion the relaxation schedule is a cost, not a benefit, and the bench
+gate (which re-checks this every run) is the guard if that ever flips.
 """
 
 import os
@@ -48,6 +72,15 @@ ARMS = {
     "sched2+lms2": dict(reuse_corr=False, gn_iters=(8, 4, 2),
                         live_mc_step=2),
     "cached+sched2": dict(gn_iters=(8, 4, 2)),
+    # two relaxation rounds: removes one round's FIXED cost (the round-5
+    # in-frame attribution measured ~78 ms/round fixed) — the question
+    # is whether the rewind-frame gate holds with only one reg
+    # relaxation (rw 0.5 -> 0.0625 instead of -> 0.0078)
+    "si2": dict(reuse_corr=False, solve_iters=2, gn_iters=(10, 6),
+                cg_iters=(16, 12)),
+    "si2b": dict(reuse_corr=False, solve_iters=2, gn_iters=(8, 8)),
+    "si1": dict(reuse_corr=False, solve_iters=1, gn_iters=12,
+                cg_iters=16),
 }
 
 
